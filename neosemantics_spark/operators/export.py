@@ -1,0 +1,266 @@
+"""Export / egress: materialized graph → triples → serialized RDF.
+
+Spark-first re-expression of the reference's export processors
+(/root/reference/src/main/java/n10s/rdf/export/LPGRDFToRDFProcesssor.java):
+E2 node→triples (:288-375), E3 rel→triple + RDF-star rel props (:236-285),
+E4 spo triple-pattern dispatch (:378-550), E5 literal reconstruction
+(ExportProcessor.java:136-193), E8 serializer sink (per-partition
+N-Triples text — no driver collection), E6 implicit-ontology export
+(:55-126), E7 pure-LPG IRI minting (LPGToRDFProcesssor.java:589-596).
+
+The core correctness invariant is the import→export round trip
+(README.md:5-6 "lossless"), tested in tests/test_export.py.
+
+Everything is built-in column expressions + unionByName — one shuffle-free
+projection per source table; `write.text` streams partition-wise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import GraphConfig
+from ..rdf.terms import RDF_LANGSTRING, RDF_TYPE, XSD
+from .materialize import GraphTables
+
+XSD_STRING = XSD + "string"
+BASE_INDIV_NS = "neo4j://graph.individuals#"  # graphconfig/Params.java:10
+
+
+def expand_short_form(df: DataFrame, colname: str, prefix_to_ns: Dict[str, str]) -> DataFrame:
+    """Helper applying the SHORTEN-inverse on one column (needs a stable
+    source column name for substring arithmetic)."""
+    df = df.withColumn("_exp_src", F.col(colname))
+    expr = F.col("_exp_src")
+    for prefix, ns in sorted(prefix_to_ns.items()):
+        p = prefix + "__"
+        expr = F.when(
+            F.col("_exp_src").startswith(p),
+            F.concat(F.lit(ns), F.expr(f"substring(_exp_src, {len(p) + 1})")),
+        ).otherwise(expr)
+    return df.withColumn(colname, expr).drop("_exp_src")
+
+
+def nodes_to_triples(tables: GraphTables, cfg: GraphConfig,
+                     prefix_to_ns: Optional[Dict[str, str]] = None) -> DataFrame:
+    """E2: labels → rdf:type triples; node_props (long form, typed) →
+    literal triples with datatype/lang reconstruction (E5). Arrays explode
+    one triple per element (LPGRDFToRDFProcesssor.java:288-375)."""
+    # labels
+    label_rows = (
+        tables.nodes.select("uri", "graph", F.explode("labels").alias("label"))
+        .select(
+            F.col("uri").alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.col("label").alias("object"),
+            F.lit(False).alias("is_literal"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("graph"),
+        )
+    )
+    if prefix_to_ns:
+        label_rows = expand_short_form(label_rows, "object", prefix_to_ns)
+    # properties: one row per array element; reconstruct lang from "v@lang"
+    # when keepLangTag was applied (string round-trip, ExportProcessor.java:136-193)
+    props = tables.node_props.select(
+        "uri", "graph", "prop", "datatype", "lang", F.explode("values").alias("value")
+    )
+    if not cfg.keep_lang_tag:
+        # keepLangTag=false stores bare strings — the tag is lost, so the
+        # export emits a plain literal (reference behavior: the stored value
+        # simply has no tag to reconstruct, RDFToLPGStatementProcessor.java:107-110)
+        props = props.withColumn("lang", F.lit(None).cast("string")).withColumn(
+            "datatype",
+            F.when(F.col("datatype") == RDF_LANGSTRING, F.lit(XSD_STRING)).otherwise(
+                F.col("datatype")
+            ),
+        )
+    if cfg.keep_lang_tag:
+        has_tag = F.col("value").rlike("@[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
+        props = props.withColumn(
+            "lang",
+            F.when(has_tag, F.regexp_extract("value", r"@([a-zA-Z0-9-]+)$", 1)).otherwise(
+                F.col("lang")
+            ),
+        ).withColumn(
+            "value",
+            F.when(has_tag, F.regexp_replace("value", r"@[a-zA-Z0-9-]+$", "")).otherwise(
+                F.col("value")
+            ),
+        )
+    prop_rows = props.select(
+        F.col("uri").alias("subject"),
+        F.col("prop").alias("predicate"),
+        F.col("value").alias("object"),
+        F.lit(True).alias("is_literal"),
+        F.when(F.col("lang").isNotNull(), F.lit(RDF_LANGSTRING))
+        .otherwise(F.coalesce("datatype", F.lit(XSD_STRING)))
+        .alias("datatype"),
+        F.col("lang"),
+        F.col("graph"),
+    )
+    if prefix_to_ns:
+        prop_rows = expand_short_form(prop_rows, "predicate", prefix_to_ns)
+    return label_rows.unionByName(prop_rows)
+
+
+def edges_to_triples(tables: GraphTables,
+                     prefix_to_ns: Optional[Dict[str, str]] = None) -> DataFrame:
+    """E3: edge → (s,p,o); rel props → RDF-star rows with sspo set
+    (LPGRDFToRDFProcesssor.java:236-285)."""
+    base = tables.edges.select(
+        F.col("src").alias("subject"),
+        F.col("rel").alias("predicate"),
+        F.col("dst").alias("object"),
+        F.lit(False).alias("is_literal"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("graph"),
+    )
+    if prefix_to_ns:
+        base = expand_short_form(base, "predicate", prefix_to_ns)
+    star = (
+        tables.edges.filter(F.col("props").isNotNull())
+        .select("src", "rel", "dst", "graph", F.explode("props").alias("prop", "value"))
+        .select(
+            F.lit(None).cast("string").alias("subject"),
+            F.col("prop").alias("predicate"),
+            F.col("value").alias("object"),
+            F.lit(True).alias("is_literal"),
+            F.lit(XSD_STRING).alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("graph"),
+            F.array("src", "rel", "dst").alias("sspo"),
+        )
+    )
+    if prefix_to_ns:
+        star = expand_short_form(star, "predicate", prefix_to_ns)
+    return base.withColumn("sspo", F.lit(None).cast("array<string>")).unionByName(star)
+
+
+def graph_to_triples(tables: GraphTables, cfg: GraphConfig,
+                     prefix_to_ns: Optional[Dict[str, str]] = None) -> DataFrame:
+    """Full graph export: nodes ∪ edges triples (L4 unionByName fan-in)."""
+    n = nodes_to_triples(tables, cfg, prefix_to_ns).withColumn(
+        "sspo", F.lit(None).cast("array<string>")
+    )
+    return n.unionByName(edges_to_triples(tables, prefix_to_ns))
+
+
+def spo_filter(
+    triples: DataFrame,
+    subject: Optional[str] = None,
+    predicate: Optional[str] = None,
+    obj: Optional[str] = None,
+    literal: Optional[bool] = None,
+) -> DataFrame:
+    """E4 triple-pattern export: 8-way (s?,p?,o?) dispatch collapses to
+    conjunctive pushed-down filters (LPGRDFToRDFProcesssor.java:378-550)."""
+    out = triples
+    if subject is not None:
+        out = out.filter(F.col("subject") == subject)
+    if predicate is not None:
+        out = out.filter(F.col("predicate") == predicate)
+    if obj is not None:
+        out = out.filter(F.col("object") == obj)
+    if literal is not None:
+        out = out.filter(F.col("is_literal") == literal)
+    return out
+
+
+# ------------------------------------------------------------------ E8
+def _escape_literal(col: Column) -> Column:
+    # F.replace is LITERAL string replace (no regex escaping maze)
+    for src, dst in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        col = F.replace(col, F.lit(src), F.lit(dst))
+    return col
+
+
+def _term_nt(value: Column, is_bnode_prefix: str = "bnode://") -> Column:
+    return F.when(
+        value.startswith(is_bnode_prefix),
+        F.concat(F.lit("_:b"), F.substring(value, len(is_bnode_prefix) + 1, 64)),
+    ).otherwise(F.concat(F.lit("<"), value, F.lit(">")))
+
+
+def to_ntriples_lines(triples: DataFrame, bnode_as_label: bool = True) -> DataFrame:
+    """Triples DF → single-column `line` DF of N-Triples/N-Quads text.
+    Pure column expressions → partition-parallel serialization (E8;
+    CollectTriples.java:124-138 does this on the driver — we don't)."""
+    subj = _term_nt(F.col("subject")) if bnode_as_label else F.concat(F.lit("<"), F.col("subject"), F.lit(">"))
+    obj_iri = _term_nt(F.col("object")) if bnode_as_label else F.concat(F.lit("<"), F.col("object"), F.lit(">"))
+    lit = F.concat(F.lit('"'), _escape_literal(F.col("object")), F.lit('"'))
+    lit = F.when(
+        F.col("lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("lang"))
+    ).otherwise(
+        F.when(
+            F.col("datatype").isNotNull() & (F.col("datatype") != XSD_STRING) & (F.col("datatype") != RDF_LANGSTRING),
+            F.concat(lit, F.lit("^^<"), F.col("datatype"), F.lit(">")),
+        ).otherwise(lit)
+    )
+    obj = F.when(F.col("is_literal"), lit).otherwise(obj_iri)
+    subj_part = (
+        F.when(
+            F.col("sspo").isNotNull(),
+            F.concat(
+                F.lit("<< "),
+                _term_nt(F.col("sspo")[0]),
+                F.lit(" "),
+                F.concat(F.lit("<"), F.col("sspo")[1], F.lit(">")),
+                F.lit(" "),
+                _term_nt(F.col("sspo")[2]),
+                F.lit(" >>"),
+            ),
+        ).otherwise(subj)
+        if "sspo" in triples.columns
+        else subj
+    )
+    g = (
+        F.when(F.col("graph").isNotNull(), F.concat(F.lit(" <"), F.col("graph"), F.lit(">"))).otherwise(F.lit(""))
+        if "graph" in triples.columns
+        else F.lit("")
+    )
+    line = F.concat(
+        subj_part, F.lit(" <"), F.col("predicate"), F.lit("> "), obj, g, F.lit(" .")
+    )
+    return triples.select(line.alias("line"))
+
+
+def write_ntriples(triples: DataFrame, path: str, single_file: bool = False) -> None:
+    lines = to_ntriples_lines(triples)
+    if single_file:
+        lines = lines.coalesce(1)
+    lines.write.mode("overwrite").text(path)
+
+
+# ------------------------------------------------------------------ E6/E7
+def implicit_ontology(tables: GraphTables) -> DataFrame:
+    """E6 implicit-ontology export: distinct (label) → owl:Class, distinct
+    rel → owl:ObjectProperty, distinct prop key → owl:DatatypeProperty
+    (LPGRDFToRDFProcesssor.java:55-126). Aggregation-only plan."""
+    classes = (
+        tables.nodes.select(F.explode("labels").alias("name"))
+        .distinct()
+        .select("name", F.lit("Class").alias("kind"))
+    )
+    rels = (
+        tables.edges.select(F.col("rel").alias("name"))
+        .distinct()
+        .select("name", F.lit("ObjectProperty").alias("kind"))
+    )
+    props = (
+        tables.node_props.select(F.col("prop").alias("name"))
+        .distinct()
+        .select("name", F.lit("DatatypeProperty").alias("kind"))
+    )
+    return classes.unionByName(rels).unionByName(props)
+
+
+def mint_lpg_iris(df: DataFrame, id_col: str) -> Column:
+    """E7 pure-LPG export IRI minting: node id → neo4j://graph.individuals#id
+    (LPGToRDFProcesssor.java:589-596)."""
+    return F.concat(F.lit(BASE_INDIV_NS), F.col(id_col).cast("string"))

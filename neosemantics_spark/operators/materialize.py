@@ -133,6 +133,8 @@ def materialize(
         sorted_vals.alias("_sorted"),
         F.count_distinct(F.col("value_type")).alias("n_types"),
         F.max_by("value_type", _ord()).alias("value_type"),
+        F.max_by("datatype", _ord()).alias("datatype"),
+        F.max_by("lang", _ord()).alias("lang"),
         F.min("graph").alias("graph"),
         F.min("predicate").alias("_pred_raw"),
     )
@@ -161,8 +163,11 @@ def materialize(
         F.col("gkey"),
         F.col("graph"),
         F.col("pred_t").alias("prop"),
+        F.col("_pred_raw").alias("prop_raw"),
         values.alias("values"),
         F.col("value_type"),
+        F.col("datatype"),
+        F.col("lang"),
         F.col("n_types"),
     )
 
@@ -254,7 +259,9 @@ def materialize(
         F.coalesce("props", F.expr("cast(map() as map<string,string>)")).alias("props"),
     )
     edges = edges.select("src", "rel", "dst", "graph", "props")
-    node_props = node_props.select("uri", "graph", "prop", "values", "value_type", "n_types")
+    node_props = node_props.select(
+        "uri", "graph", "prop", "prop_raw", "values", "value_type", "datatype", "lang", "n_types"
+    )
     return GraphTables(nodes=nodes, edges=edges, node_props=node_props)
 
 
