@@ -1,0 +1,192 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's statement-level dedup (A4/A5), a 100 TB corpus
+engine needs document-level dedup. All operators run over a
+`documents(doc_id, text, …)`-shaped table and are pure column expressions
+(JVM-side, whole-stage codegen) except nothing — no Python in any of them.
+
+Design for scale:
+- exact dedup: one hash-groupBy (map-side partial agg absorbs skew).
+- MinHash+LSH: shingle→minhash→band→bucket self-join. The self-join is on
+  the band-bucket key, so candidate generation never goes quadratic; the
+  bucket key space grows with corpus size. Deterministic: hash_i(shingle)
+  = md5(i || shingle) and the signature is the lexicographic min — no RNG,
+  reproducible run-to-run and engine-to-engine (oracle-checkable).
+- SimHash: 32-bit signature from the top bit of each hex nibble of
+  md5(token), weighted ±1 — again engine-portable; near-dup candidates
+  join on 8-hex-char quarter bands (Hamming ≤ small ⇒ some quarter equal).
+- n-gram Jaccard: exact verification on candidate pairs (or small inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- helpers
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingle array (distinct), JVM-side via transform/sequence."""
+    w = _words(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k))
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", w))))
+
+
+# --------------------------------------------------------------- exact
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (text_hash, cnt, keep_id).
+    One shuffle; partial aggregation map-side."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative per distinct text."""
+    w = docs.groupBy(F.col(text_col).alias("_t")).agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(w.select("doc_id"), "doc_id", "left_semi")
+
+
+# --------------------------------------------------------------- minhash
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, seed, minhash): minhash_i = min over shingles of
+    md5(i || '|' || shingle) — lexicographic min of hex strings.
+    Plan: explode(shingles) × explode(seeds) → groupBy min (partial agg
+    makes the shuffle tiny: num_hashes rows per doc)."""
+    sh = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    hashed = sh.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Group the signature rows into `bands` bands; bucket id =
+    md5(band || concat(minhashes in seed order)). (doc_id, band, bucket)."""
+    num_hashes_per_band = None  # derived from data; seeds are dense 0..n-1
+    sig = signatures.withColumn("band", F.col("seed") % bands)
+    return (
+        sig.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                        ),
+                        lambda x: x["minhash"],
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                           k: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH bucket.
+    The self-join is keyed on (band, bucket) — never all-pairs."""
+    b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
+    l = b.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"))
+    r = b.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- jaccard
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
+                        text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact k-shingle Jaccard for pairs above threshold.
+    Without `candidates`, joins on shared shingles (index join — still not
+    all-pairs; worst case bounded by shingle-posting sizes). With
+    `candidates` (e.g. from MinHash-LSH), verifies only those pairs —
+    the scale path."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pair_common = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        pair_common = pair_common.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        pair_common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------- simhash
+def simhash(docs: DataFrame, text_col: str = "text", nbits: int = 32) -> DataFrame:
+    """32-bit SimHash as a bit string. Bit i of a token = 1 iff hex digit i
+    of md5(token) ≥ 8 (the nibble's top bit); document bit i = majority
+    vote over tokens. Pure column exprs, engine-portable (oracle uses the
+    identical formula)."""
+    toks = docs.select("doc_id", F.explode(_words(F.col(text_col))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    h = toks.select("doc_id", F.md5("tok").alias("h"))
+    HEX = "0123456789abcdef"
+    votes = [
+        F.sum(
+            F.when(F.instr(F.lit(HEX), F.substring("h", i + 1, 1)) >= 9, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[F.when(F.col(f"b{i}") > 0, "1").otherwise("0") for i in range(nbits)])
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: pairs agreeing on ≥1 of the 4 8-bit quarters
+    of the simhash (banding ⇒ Hamming-close pairs collide somewhere)."""
+    s = simhash(docs, text_col)
+    quarters = s.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(q).alias("q"), F.substring("simhash", q * 8 + 1, 8).alias("band"))
+                for q in range(4)
+            ])
+        ).alias("qb"),
+    ).select("doc_id", F.col("qb.q").alias("q"), F.col("qb.band").alias("band"))
+    l = quarters.select("q", "band", F.col("doc_id").alias("a"))
+    r = quarters.select("q", "band", F.col("doc_id").alias("b"))
+    return l.join(r, ["q", "band"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
