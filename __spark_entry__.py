@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator surface (SURVEY.md §2 + the
+training-data ops) as (spark, sf_dir) -> DataFrame callables;
+`oracle_sql()` gives the DuckDB-equivalent SQL for each. Column names and
+values are aligned exactly (rounded floats, string-formatted timestamps).
+
+The KG-construction queries synthesize the north-rule input table
+(repo, path, commit, lang, content) deterministically from the driver's
+`documents` parquet (JVM-side string assembly — see
+neosemantics_spark/sources/datagen.py), so the oracle can derive the
+expected triples independently with plain SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +17,655 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neosemantics_spark.config import KEEP, SHORTEN, GraphConfig
+from neosemantics_spark.utils import round4
+from neosemantics_spark.functions import (
+    get_datatype,
+    get_iri_local_name,
+    get_iri_namespace,
+    get_lang_tag,
+    get_value,
+)
+from neosemantics_spark.operators import dedup, inference, similarity, text
+from neosemantics_spark.operators.cc import canonical_map
+from neosemantics_spark.operators.export import (
+    graph_to_triples,
+    relational_to_triples,
+    to_ntriples_lines,
+)
+from neosemantics_spark.operators.materialize import materialize, transform_triples
+from neosemantics_spark.operators.multimodal import media_stats, synthetic_media
+from neosemantics_spark.operators.prefixes import build_prefix_map, collect_namespaces
+from neosemantics_spark.sources.datagen import src_files_from_documents
+from neosemantics_spark.sources.parse import extract_triples
+from neosemantics_spark.validation.shacl import ShaclValidator, compile_shapes
+
+DOC = "http://example.org/doc/"
+VOC = "http://example.org/voc#"
+RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _kg_cfg() -> GraphConfig:
+    return GraphConfig(handle_vocab_uris=KEEP)
+
+
+# ===================================================================== KG
+def q_kg_triples_nt(spark: SparkSession, sf: str) -> DataFrame:
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    t = extract_triples(src)
+    return t.select("subject", "predicate", "object", "is_literal", "datatype")
+
+
+def q_kg_triples_turtle(spark: SparkSession, sf: str) -> DataFrame:
+    src = src_files_from_documents(spark, sf, "Turtle")
+    t = extract_triples(src)
+    return t.select("subject", "predicate", "object", "is_literal", "lang")
+
+
+def _kg_tables(spark: SparkSession, sf: str):
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    cfg = _kg_cfg()
+    t = transform_triples(extract_triples(src), cfg)
+    return materialize(t, cfg), cfg
+
+
+def q_kg_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    tables, _ = _kg_tables(spark, sf)
+    return tables.nodes.select(
+        "uri",
+        F.array_join("labels", ",").alias("labels_str"),
+        F.size("props").alias("n_props"),
+    )
+
+
+def q_kg_edges(spark: SparkSession, sf: str) -> DataFrame:
+    tables, _ = _kg_tables(spark, sf)
+    return tables.edges.select("src", "rel", "dst")
+
+
+def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    raw = extract_triples(src)
+    cfg = GraphConfig(handle_vocab_uris=SHORTEN)
+    ns = build_prefix_map(collect_namespaces(raw))
+    t = transform_triples(raw, cfg, ns)
+    return t.select(F.col("predicate"), F.col("pred_t").alias("pred_short")).distinct()
+
+
+def q_kg_sameas_cc(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
+    prev = F.concat(F.lit(f"<{DOC}"), (F.col("doc_id") - 1).cast("string"), F.lit(">"))
+    content = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.concat(subj, F.lit(f" <{OWL_SAMEAS}> "), prev, F.lit(" .\n")),
+    ).otherwise(F.lit(""))
+    src = docs.select(
+        F.lit("org/docs").alias("repo"),
+        F.concat(F.lit("links/"), F.col("doc_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    comp = canonical_map(extract_triples(src))
+    return comp.select("uri", "component")
+
+
+def q_kg_typed_literals(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    subj = F.concat(F.lit("<http://example.org/evt/"), F.col("event_id").cast("string"), F.lit(">"))
+    ts_lex = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    content = F.concat(
+        subj, F.lit(f" <{VOC}value> \""), F.col("value").cast("string"),
+        F.lit(f"\"^^<{XSD}double> .\n"),
+        subj, F.lit(f" <{VOC}at> \""), ts_lex, F.lit(f"\"^^<{XSD}dateTime> .\n"),
+        subj, F.lit(f" <{VOC}etype> \""), F.col("event_type"), F.lit("\" .\n"),
+    )
+    src = ev.select(
+        F.lit("org/events").alias("repo"),
+        F.concat(F.lit("ev/"), F.col("event_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    from neosemantics_spark.operators.transforms import with_typed_values
+
+    t = with_typed_values(extract_triples(src))
+    ev_id = F.regexp_extract("subject", r"/evt/(\d+)$", 1).cast("long")
+    vals = t.filter(F.col("predicate") == VOC + "value").select(
+        ev_id.alias("event_id"), F.col("value_double"), F.col("value_type").alias("vt_value")
+    )
+    times = t.filter(F.col("predicate") == VOC + "at").select(
+        ev_id.alias("event_id"),
+        F.date_format("value_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("value_type").alias("vt_ts"),
+    )
+    return vals.join(times, "event_id")
+
+
+def q_kg_shacl(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
+    content = F.concat(
+        subj, F.lit(f" <{RDFT}> <{VOC}Document> .\n"),
+        subj, F.lit(f" <{VOC}nchars> \""), F.col("n_chars").cast("string"),
+        F.lit(f"\"^^<{XSD}integer> .\n"),
+        F.when(
+            F.col("n_chars") >= 150,
+            F.concat(subj, F.lit(f" <{VOC}long_text> \"1\" .\n")),
+        ).otherwise(F.lit("")),
+    )
+    src = docs.select(
+        F.lit("org/docs").alias("repo"),
+        F.concat(F.lit("g/"), F.col("doc_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    cfg = _kg_cfg()
+    tables = materialize(transform_triples(extract_triples(src), cfg), cfg)
+    shapes = compile_shapes(
+        f"""@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix v: <{VOC}> .
+@prefix xsd: <{XSD}> .
+v:DocShape a sh:NodeShape ; sh:targetClass v:Document ;
+  sh:property [ sh:path v:long_text ; sh:minCount 1 ] ;
+  sh:property [ sh:path v:nchars ; sh:maxInclusive 400 ] .
+"""
+    )
+    res = ShaclValidator(tables).validate(shapes)
+    return res.select(
+        "focus_node",
+        F.element_at(F.split("property_shape", "#"), -1).alias("component"),
+        "result_path",
+    )
+
+
+def q_kg_export_nt(spark: SparkSession, sf: str) -> DataFrame:
+    tables, cfg = _kg_tables(spark, sf)
+    trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull())
+    return to_ntriples_lines(trip).select("line")
+
+
+def q_orders_rdf(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return relational_to_triples(
+        orders,
+        "o_orderkey",
+        "http://example.org/order/",
+        type_iri=VOC + "Order",
+        literal_cols={"o_orderstatus": VOC + "status", "o_orderpriority": VOC + "priority"},
+        ref_cols={"o_custkey": (VOC + "customer", "http://example.org/cust/")},
+    ).select("subject", "predicate", "object", "is_literal")
+
+
+# ============================================================== data ops
+def q_dedup_exact_kept(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf)).select("doc_id")
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs(spark, sf)).select("text_hash", "cnt", "keep_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf), num_hashes=8, bands=4).select("a", "b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf)).select("doc_id", "simhash")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.8).select("a", "b", "jaccard")
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return similarity.brute_force_topk(emb, list(range(10)), k=5).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return emb.select(
+        "vec_id", similarity.sign_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf)).select("doc_id", "pred_lang", "score")
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf))
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf))
+
+
+def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf)).select("doc_id", "exact_fp", "shingle_fp")
+
+
+def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), round4(F.avg("value")).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def q_iri_functions(spark: SparkSession, sf: str) -> DataFrame:
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    t = extract_triples(src)
+    return (
+        t.select("predicate").distinct().select(
+            "predicate",
+            get_iri_namespace(F.col("predicate")).alias("ns"),
+            get_iri_local_name(F.col("predicate")).alias("local"),
+        )
+    )
+
+
+def q_literal_functions(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    s1 = F.concat(F.col("n_chars").cast("string"), F.lit(f"^^{XSD}integer"))
+    s2 = F.concat(F.col("source"), F.lit("@"), F.col("lang"))
+    return docs.select(
+        "doc_id",
+        get_value(s1).alias("v1"),
+        get_datatype(s1).alias("dt1"),
+        get_value(s2).alias("v2"),
+        get_lang_tag(s2).alias("tag2"),
+    )
+
+
+def q_inference_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    nodes = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        F.concat(F.lit("http://example.org/cust/"), F.col("c_custkey").cast("string")).alias("uri"),
+        F.array("n_name").alias("labels"),
+    )
+    sco = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_name").alias("src"), F.lit("SCO").alias("rel"), F.col("r_name").alias("dst")
+    )
+    closure = inference.transitive_closure(sco)
+    got = inference.nodes_labelled_with_inference(nodes, closure, "ASIA")
+    return got.select("uri")
+
+
+def q_skos_route(spark: SparkSession, sf: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    j = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    trip = j.select(
+        F.col("r_name").alias("subject"),
+        F.lit(skos + "narrower").alias("predicate"),
+        F.col("n_name").alias("object"),
+        F.lit(False).alias("is_literal"),
+    ).unionByName(
+        j.select(
+            F.col("n_name").alias("subject"),
+            F.lit(skos + "broader").alias("predicate"),
+            F.col("r_name").alias("object"),
+            F.lit(False).alias("is_literal"),
+        )
+    )
+    return inference.route_skos(trip).distinct().select("src", "rel", "dst")
+
+
+def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return media_stats(synthetic_media(spark, 256)).select(
+        "kind", "n", "total_bytes", "avg_width", "avg_duration_ms"
+    )
+
+
+# ================================================================ driver
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline (parse → transform →
+    materialize) over the documents-derived N-Triples corpus at sf0.001."""
+    return q_kg_nodes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_triples_nt": q_kg_triples_nt,
+        "kg_triples_turtle": q_kg_triples_turtle,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_shorten": q_kg_shorten,
+        "kg_sameas_cc": q_kg_sameas_cc,
+        "kg_typed_literals": q_kg_typed_literals,
+        "kg_shacl": q_kg_shacl,
+        "kg_export_nt": q_kg_export_nt,
+        "orders_rdf": q_orders_rdf,
+        "dedup_exact_kept": q_dedup_exact_kept,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "events_window": q_events_window,
+        "iri_functions": q_iri_functions,
+        "literal_functions": q_literal_functions,
+        "inference_nodes": q_inference_nodes,
+        "skos_route": q_skos_route,
+        "multimodal_stats": q_multimodal_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ================================================================ oracles
+def _doc_triples_nt_sql(select: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT '{DOC}' || doc_id AS subject, '{RDFT}' AS predicate,
+         '{VOC}Document' AS object, false AS is_literal,
+         CAST(NULL AS VARCHAR) AS datatype
+  FROM documents
+  UNION ALL
+  SELECT '{DOC}' || doc_id, '{VOC}text', text, true, '{XSD}string' FROM documents
+  UNION ALL
+  SELECT '{DOC}' || doc_id, '{VOC}lang', lang, true, '{XSD}string' FROM documents
+  UNION ALL
+  SELECT '{DOC}' || doc_id, '{VOC}source', '{DOC}src/' || source, false, NULL FROM documents
+  UNION ALL
+  SELECT '{DOC}' || doc_id, '{VOC}nchars', CAST(n_chars AS VARCHAR), true, '{XSD}integer' FROM documents
+)
+{select}
+"""
+
+
+_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [array_to_string(w, ' ')] END)"
+)
+
+_EN_STOP = "'the','and','of','to','is','in','that','it','for','with','a','an','on','as','at','by','be','are'"
+_LANG_LISTS = {
+    "en": "'the','and','of','to','is','in','that','it','for','with'",
+    "es": "'el','la','de','que','y','en','los','del','las','por'",
+    "fr": "'le','la','de','et','les','des','en','un','du','une'",
+    "de": "'der','die','und','das','von','den','mit','ist','des','ein'",
+}
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN instr('0123456789abcdef', substr(h, {i + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    bit_concat = " || ".join(f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(32))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {bit_concat} AS simhash FROM bits
+"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM words
+), hashes AS (
+  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM hashes GROUP BY doc_id, seed
+), band AS (
+  SELECT doc_id, seed % 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+  FROM sig GROUP BY doc_id, seed % 4
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _jaccard_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pc AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, floor(common / (sa.sz + sb.sz - common) * 10000 + 0.5) / 10000 AS jaccard
+FROM pc JOIN sizes sa ON pc.a = sa.doc_id JOIN sizes sb ON pc.b = sb.doc_id
+WHERE floor(common / (sa.sz + sb.sz - common) * 10000 + 0.5) / 10000 >= {threshold}
+"""
+
+
+def _lang_id_sql() -> str:
+    scores = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_filter(w, t -> t IN ({lst}))) AS score FROM words"
+        for lang, lst in sorted(_LANG_LISTS.items())
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), scores AS (
+{scores}
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang, score
+FROM best WHERE rn = 1
+"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(w) AS n_tokens,
+    floor(list_sum(list_transform(w, t -> length(t))) / greatest(len(w), 1) * 10000 + 0.5) / 10000 AS mean_token_len,
+    floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS punct_ratio,
+    floor(len(list_filter(w, t -> t IN ({_EN_STOP}))) / greatest(len(w), 1) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    floor(len(list_distinct(w)) / greatest(len(w), 1) * 10000 + 0.5) / 10000 AS distinct_ratio
+  FROM words
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio, distinct_ratio,
+  floor((least(n_tokens / 64.0, 1.0) * 0.25 + (1.0 - punct_ratio) * 0.25
+        + least(stopword_ratio * 4, 1.0) * 0.25 + distinct_ratio * 0.25) * 10000 + 0.5) / 10000 AS quality_score
+FROM feat
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out["kg_triples_nt"] = _doc_triples_nt_sql("SELECT * FROM t")
+    out["kg_triples_turtle"] = f"""
+SELECT '{DOC}' || doc_id AS subject, '{RDFT}' AS predicate, '{VOC}Document' AS object,
+       false AS is_literal, CAST(NULL AS VARCHAR) AS lang FROM documents
+UNION ALL SELECT '{DOC}' || doc_id, '{VOC}text', text, true, NULL FROM documents
+UNION ALL SELECT '{DOC}' || doc_id, '{VOC}summary', text, true, lang FROM documents
+UNION ALL SELECT '{DOC}' || doc_id, '{VOC}lang', lang, true, NULL FROM documents
+UNION ALL SELECT '{DOC}' || doc_id, '{VOC}source', '{DOC}src/' || source, false, NULL FROM documents
+UNION ALL SELECT '{DOC}' || doc_id, '{VOC}nchars', CAST(n_chars AS VARCHAR), true, NULL FROM documents
+"""
+    out["kg_nodes"] = f"""
+SELECT '{DOC}' || doc_id AS uri, '{VOC}Document' AS labels_str, 3 AS n_props FROM documents
+UNION ALL
+SELECT DISTINCT '{DOC}src/' || source, '', 0 FROM documents
+"""
+    out["kg_edges"] = f"""
+SELECT '{DOC}' || doc_id AS src, '{VOC}source' AS rel, '{DOC}src/' || source AS dst FROM documents
+"""
+    out["kg_shorten"] = f"""
+SELECT * FROM (VALUES
+  ('{RDFT}', 'rdf__type'),
+  ('{VOC}text', 'ns0__text'),
+  ('{VOC}lang', 'ns0__lang'),
+  ('{VOC}source', 'ns0__source'),
+  ('{VOC}nchars', 'ns0__nchars')
+) AS t(predicate, pred_short)
+"""
+    out["kg_sameas_cc"] = f"""
+SELECT '{DOC}' || doc_id AS uri,
+       '{DOC}' || (doc_id - doc_id % 5) AS component
+FROM documents
+"""
+    out["kg_typed_literals"] = """
+SELECT event_id, value AS value_double, 'DOUBLE' AS vt_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, 'DATETIME' AS vt_ts
+FROM events
+"""
+    out["kg_shacl"] = f"""
+SELECT '{DOC}' || doc_id AS focus_node, 'MinCountConstraintComponent' AS component,
+       '{VOC}long_text' AS result_path
+FROM documents WHERE n_chars < 150
+UNION ALL
+SELECT '{DOC}' || doc_id, 'MaxInclusiveConstraintComponent', '{VOC}nchars'
+FROM documents WHERE n_chars > 400
+"""
+    out["kg_export_nt"] = f"""
+SELECT '<{DOC}' || doc_id || '> <{RDFT}> <{VOC}Document> .' AS line FROM documents
+UNION ALL SELECT '<{DOC}' || doc_id || '> <{VOC}lang> "' || lang || '" .' FROM documents
+UNION ALL SELECT '<{DOC}' || doc_id || '> <{VOC}nchars> "' || n_chars || '"^^<{XSD}integer> .' FROM documents
+UNION ALL SELECT '<{DOC}' || doc_id || '> <{VOC}text> "' || text || '" .' FROM documents
+UNION ALL SELECT '<{DOC}' || doc_id || '> <{VOC}source> <{DOC}src/' || source || '> .' FROM documents
+"""
+    out["orders_rdf"] = f"""
+SELECT 'http://example.org/order/' || o_orderkey AS subject, '{RDFT}' AS predicate,
+       '{VOC}Order' AS object, false AS is_literal FROM orders
+UNION ALL SELECT 'http://example.org/order/' || o_orderkey, '{VOC}status', o_orderstatus, true FROM orders
+UNION ALL SELECT 'http://example.org/order/' || o_orderkey, '{VOC}priority', o_orderpriority, true FROM orders
+UNION ALL SELECT 'http://example.org/order/' || o_orderkey, '{VOC}customer',
+       'http://example.org/cust/' || o_custkey, false FROM orders
+"""
+    out["dedup_exact_kept"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    out["dedup_exact_groups"] = """
+SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+    out["dedup_minhash_lsh"] = _minhash_sql()
+    out["dedup_simhash"] = _simhash_sql()
+    out["dedup_jaccard"] = _jaccard_sql()
+    out["ann_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+               * 10000 + 0.5) / 10000 AS score
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+"""
+    out["ann_lsh_buckets"] = """
+SELECT vec_id,
+       array_to_string(list_transform(embedding[1:8],
+                       x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+FROM embeddings
+"""
+    out["lang_id"] = _lang_id_sql()
+    out["text_quality"] = _quality_sql()
+    out["token_counts"] = f"""
+WITH words AS (
+  SELECT doc_id, text, {_WORDS} AS w FROM documents
+)
+SELECT doc_id, len(w) AS ws_tokens,
+  CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS INT)))
+       + (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS INT) AS bpe_ish_tokens
+FROM words
+"""
+    out["fingerprints"] = f"""
+WITH words AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, w, {_SHINGLES} AS shingles FROM words
+)
+SELECT doc_id, md5(array_to_string(w, ' ')) AS exact_fp,
+       array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], '') AS shingle_fp
+FROM sh
+"""
+    out["events_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       count(*) AS n, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+FROM events GROUP BY 1, 2
+"""
+    out["iri_functions"] = _doc_triples_nt_sql(
+        """
+SELECT DISTINCT predicate,
+  regexp_extract(predicate, '^(.*[#/])([^#/]*)$', 1) AS ns,
+  regexp_extract(predicate, '^(.*[#/])([^#/]*)$', 2) AS local
+FROM t
+"""
+    )
+    out["literal_functions"] = f"""
+SELECT doc_id, CAST(n_chars AS VARCHAR) AS v1, '{XSD}integer' AS dt1,
+       source AS v2, lang AS tag2
+FROM documents
+"""
+    out["inference_nodes"] = """
+SELECT 'http://example.org/cust/' || c_custkey AS uri
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+    out["skos_route"] = """
+SELECT DISTINCT n_name AS src, 'SCO' AS rel, r_name AS dst
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    out["multimodal_stats"] = """
+WITH m AS (
+  SELECT unnest(generate_series(0, 255)) AS id
+), t AS (
+  SELECT CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         72 AS nbytes, id % 640 + 1 AS width, (id * 1000) % 60000 AS dur
+  FROM m
+)
+SELECT kind, count(*) AS n, sum(nbytes) AS total_bytes,
+       floor(avg(width) * 10000 + 0.5) / 10000 AS avg_width, floor(avg(dur) * 10000 + 0.5) / 10000 AS avg_duration_ms
+FROM t GROUP BY kind
+"""
+    return out

@@ -1,0 +1,121 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+The KG-construction stages run over a deterministic distributed corpus
+(scale_corpus: JVM-side generation, BENCH_FILES files x BENCH_TPF entity
+blocks) sized so the parse stage dominates, which is the real 100 TB
+bottleneck. The v:sameAs links in the corpus all point at 7 canon
+entities -> the CC stage exercises hot-key skew on purpose.
+
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...per-stage sec...}, "sf": ..., "throughput_tps": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_FILES = int(os.environ.get("BENCH_FILES", "2000"))
+TPF = int(os.environ.get("BENCH_TPF", "40"))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from neosemantics_spark.config import KEEP, GraphConfig
+    from neosemantics_spark.operators.cc import canonical_map, canonicalize_triples
+    from neosemantics_spark.operators.export import graph_to_triples, to_ntriples_lines
+    from neosemantics_spark.operators.materialize import materialize, transform_triples
+    from neosemantics_spark.session import get_spark
+    from neosemantics_spark.sources.datagen import scale_corpus
+    from neosemantics_spark.sources.parse import extract_triples
+    from neosemantics_spark.validation.shacl import ShaclValidator, compile_shapes
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- KG construction over the deterministic corpus
+    corpus = scale_corpus(spark, N_FILES, TPF, partitions=CPUS * 2, fmt="Turtle")
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    raw = extract_triples(corpus).cache()
+    n_triples = timed("kg_parse", raw.count)
+    t = transform_triples(raw, cfg)
+    t = timed("kg_cc", lambda: canonicalize_triples(t, canonical_map(t)).cache())
+    timed("kg_cc_apply", t.count)
+    tables = materialize(t, cfg)
+    # cache the materialized graph once — SHACL + export fan out over it
+    tables = tables._replace(
+        nodes=tables.nodes.cache(),
+        edges=tables.edges.cache(),
+        node_props=tables.node_props.cache(),
+    )
+    timed("kg_nodes", tables.nodes.count)
+    timed("kg_edges", tables.edges.count)
+    timed("kg_node_props", tables.node_props.count)
+    shapes = compile_shapes(
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix v: <http://example.org/voc#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
+  sh:property [ sh:path v:rank ; sh:datatype xsd:integer ; sh:minCount 1 ] ;
+  sh:property [ sh:path v:name ; sh:minLength 3 ] .
+"""
+    )
+    timed("kg_shacl", ShaclValidator(tables).validate(shapes).count)
+    timed(
+        "kg_export",
+        to_ntriples_lines(
+            graph_to_triples(tables, cfg).filter(F.col("sspo").isNull())
+        ).count,
+    )
+
+    # ---- training-data ops at SF_DIR
+    qs = entrymod.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk",
+        "text_quality",
+        "events_window",
+        "orders_rdf",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    kg_secs = sum(v for k, v in timings.items() if k.startswith("kg_"))
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_and_dataops_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_triples": n_triples,
+                "throughput_tps": round(n_triples / kg_secs, 1) if kg_secs else None,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,17 +69,34 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         delta = sym2.groupBy("ca").agg(F.min("cb").alias("new_c")).filter(
             F.col("new_c") < F.col("ca")
         )
-        # comp(u) := comp(comp(u)) ∧ min-neighbor — pointer-jumping join
+        # min-neighbor update on the contracted graph…
+        comp = comp.join(
+            delta.select(F.col("ca").alias("component"), "new_c"), "component", "left"
+        ).select(
+            "uri", F.least(F.coalesce("new_c", "component"), F.col("component")).alias("component")
+        )
+        # …then pointer jumping comp(u) := comp(comp(u)) so nodes whose
+        # representative itself moved follow it down (path halving)
+        parent = comp.select(
+            F.col("uri").alias("component"), F.col("component").alias("pcomp")
+        )
         comp = (
-            comp.join(
-                delta.select(F.col("ca").alias("component"), "new_c"), "component", "left"
-            )
-            .select(
-                "uri", F.least(F.coalesce("new_c", "component"), F.col("component")).alias("component")
-            )
+            comp.join(parent, "component", "left")
+            .select("uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"))
             .localCheckpoint(eager=True)
         )
         e = ec.select(F.col("ca").alias("a"), F.col("cb").alias("b")).localCheckpoint(eager=True)
+    # final flattening: follow representatives until fixpoint (log-depth)
+    for _ in range(max_iter):
+        parent = comp.select(F.col("uri").alias("component"), F.col("component").alias("pcomp"))
+        nxt = comp.join(parent, "component", "left").select(
+            "uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.exceptAll(comp).isEmpty():
+            comp = nxt
+            break
+        comp = nxt
     return comp
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import round4
+
 # --------------------------------------------------------------- helpers
 def _words(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
@@ -142,9 +144,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 4
-            ),
+            round4(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

@@ -264,3 +264,54 @@ def mint_lpg_iris(df: DataFrame, id_col: str) -> Column:
     """E7 pure-LPG export IRI minting: node id → neo4j://graph.individuals#id
     (LPGToRDFProcesssor.java:589-596)."""
     return F.concat(F.lit(BASE_INDIV_NS), F.col(id_col).cast("string"))
+
+
+# ------------------------------------------------------------- relational
+def relational_to_triples(
+    df: DataFrame,
+    id_col: str,
+    subject_base: str,
+    type_iri: Optional[str] = None,
+    literal_cols: Optional[Dict[str, str]] = None,
+    ref_cols: Optional[Dict[str, tuple]] = None,
+) -> DataFrame:
+    """Relational table → RDF triples (the E7 'pure-LPG export' family,
+    LPGToRDFProcesssor.java:589-596, generalized): subject =
+    subject_base + id; each literal col becomes a datatype-property triple
+    (predicate IRI given in `literal_cols[col]`), each ref col an
+    object-property triple to `ref_base + value`
+    (`ref_cols[col] = (predicate_iri, ref_base)`).
+
+    Pure projection + unionByName — shuffle-free, scales linearly."""
+    subj = F.concat(F.lit(subject_base), F.col(id_col).cast("string"))
+    parts = []
+    if type_iri:
+        parts.append(
+            df.select(
+                subj.alias("subject"),
+                F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+                F.lit(type_iri).alias("object"),
+                F.lit(False).alias("is_literal"),
+            )
+        )
+    for col, pred in (literal_cols or {}).items():
+        parts.append(
+            df.select(
+                subj.alias("subject"),
+                F.lit(pred).alias("predicate"),
+                F.col(col).cast("string").alias("object"),
+                F.lit(True).alias("is_literal"),
+            )
+        )
+    for col, (pred, ref_base) in (ref_cols or {}).items():
+        parts.append(
+            df.select(
+                subj.alias("subject"),
+                F.lit(pred).alias("predicate"),
+                F.concat(F.lit(ref_base), F.col(col).cast("string")).alias("object"),
+                F.lit(False).alias("is_literal"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)

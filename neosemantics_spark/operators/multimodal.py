@@ -15,6 +15,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..utils import round4
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -109,7 +111,7 @@ def media_stats(media: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            F.round(F.avg("meta_width"), 4).alias("avg_width"),
-            F.round(F.avg("meta_duration_ms"), 4).alias("avg_duration_ms"),
+            round4(F.avg("meta_width")).alias("avg_width"),
+            round4(F.avg("meta_duration_ms")).alias("avg_duration_ms"),
         )
     )

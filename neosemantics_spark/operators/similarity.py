@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import round4
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -59,7 +61,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score"),
+            round4(cosine(F.col("qvec"), F.col("nvec"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -115,7 +117,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("nvec")), 4).alias("score"),
+            round4(cosine(F.col("qvec"), F.col("nvec"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

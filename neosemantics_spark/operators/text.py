@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import round4
+
 # small, fixed stopword marker sets per language (heuristic language-ID)
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
@@ -59,22 +61,16 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     w = _words(F.col(text_col))
     n_tok = F.size(w)
     n_chars = F.length(F.col(text_col))
-    mean_len = F.round(
-        F.aggregate(w, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(n_tok, F.lit(1)),
-        4,
-    )
+    mean_len = round4((F.aggregate(w, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(n_tok, F.lit(1))))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
-    stop_ratio = F.round(
-        F.size(F.filter(w, lambda t: t.isin(EN_STOPWORDS))) / F.greatest(n_tok, F.lit(1)), 4
-    )
-    distinct_ratio = F.round(F.size(F.array_distinct(w)) / F.greatest(n_tok, F.lit(1)), 4)
-    score = F.round(
+    punct_ratio = round4((n_punct / F.greatest(n_chars, F.lit(1))))
+    stop_ratio = round4((F.size(F.filter(w, lambda t: t.isin(EN_STOPWORDS))) / F.greatest(n_tok, F.lit(1))))
+    distinct_ratio = round4((F.size(F.array_distinct(w)) / F.greatest(n_tok, F.lit(1))))
+    score = round4(
         F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.25
         + (F.lit(1.0) - punct_ratio) * 0.25
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
-        + distinct_ratio * 0.25,
-        4,
+        + distinct_ratio * 0.25
     )
     return docs.select(
         "doc_id",
@@ -88,17 +84,16 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace count + a BPE-ish
-    estimate = count of matches of word-pieces/digits/punctuation."""
-    ws = F.size(_words(F.col(text_col)))
-    pieces = F.size(
-        F.filter(
-            F.split(
-                F.regexp_replace(F.lower(F.col(text_col)), r"([a-z]{1,4})(?=[a-z])", r"$1 "),
-                r"[\s]+|(?=[^\w\s])",
-            ),
-            lambda t: t != "",
-        )
+    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace token count + a
+    BPE-ish estimate = Σ ceil(len(word)/4) + count of non-alnum-non-space
+    chars (a subword-piece proxy; pure arithmetic so every engine agrees)."""
+    w = _words(F.col(text_col))
+    ws = F.size(w)
+    pieces = F.aggregate(
+        w, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
+    ) + (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", ""))
     )
     return docs.select("doc_id", ws.alias("ws_tokens"), pieces.alias("bpe_ish_tokens"))
 

@@ -106,8 +106,12 @@ def with_typed_values(triples: DataFrame) -> DataFrame:
     value_long = F.when(is_lit & dt.isin(_LONG_TYPES), F.expr("try_cast(object as long)"))
     value_double = F.when(is_lit & dt.isin(_DOUBLE_TYPES), F.expr("try_cast(object as double)"))
     value_bool = F.when(is_lit & (dt == XSD + "boolean"), F.expr("try_cast(object as boolean)"))
-    ts_norm = F.regexp_replace(v, r"(\.\d+)?(Z|[+-]\d\d:\d\d)?$", "")
-    value_ts = F.when(is_lit & (dt == XSD + "dateTime"), F.try_to_timestamp(ts_norm))
+    # Spark's timestamp cast accepts ISO-8601 incl. 'T', fractions, Z and
+    # offsets — mirrors the reference's 3-stage fallback parse
+    # (utils/DateUtils.java:21-54); failure → NULL → degrade to string.
+    value_ts = F.when(
+        is_lit & (dt == XSD + "dateTime"), F.expr("try_cast(object as timestamp)")
+    )
     value_date = F.when(is_lit & (dt == XSD + "date"), F.expr("try_cast(substring(object,1,10) as date)"))
     # WKT point → struct (Spark has no point type; SURVEY.md §1.6)
     wkt = F.regexp_extract(v, r"Point\(([-\d.]+)\s+([-\d.]+)\s*([-\d.]+)?\)", 1)

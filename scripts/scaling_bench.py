@@ -1,0 +1,77 @@
+"""Two-parallelism scaling evidence for the BASELINE north rule.
+
+Runs the identical KG-construction job (parse → transform → CC →
+materialize → export count) on the same deterministic corpus at local[N]
+and local[4N] in separate JVMs (fresh SparkSession each), reports
+triples/sec at both and scaling efficiency = (tps_4N / tps_N) / 4.
+
+Usage: python scripts/scaling_bench.py [N] [files] [tpf]
+Writes JSON to stdout; paste results into BASELINE.md / BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+FILES = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+TPF = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+JOB = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from neosemantics_spark.config import KEEP, GraphConfig
+from neosemantics_spark.operators.cc import canonical_map, canonicalize_triples
+from neosemantics_spark.operators.export import graph_to_triples, to_ntriples_lines
+from neosemantics_spark.operators.materialize import materialize, transform_triples
+from neosemantics_spark.session import get_spark
+from neosemantics_spark.sources.datagen import scale_corpus
+from neosemantics_spark.sources.parse import extract_triples
+
+cpus, files, tpf = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = scale_corpus(spark, files, tpf, partitions=max(cpus * 2, 16), fmt="Turtle")
+t0 = time.perf_counter()
+cfg = GraphConfig(handle_vocab_uris=KEEP)
+raw = extract_triples(corpus).cache()
+n = raw.count()
+t = transform_triples(raw, cfg)
+t = canonicalize_triples(t, canonical_map(t))
+tables = materialize(t, cfg)
+tables = tables._replace(nodes=tables.nodes.cache(), edges=tables.edges.cache(),
+                         node_props=tables.node_props.cache())
+nn = tables.nodes.count()
+ne = tables.edges.count()
+nx = to_ntriples_lines(graph_to_triples(tables, cfg).filter(F.col("sspo").isNull())).count()
+wall = time.perf_counter() - t0
+print(json.dumps({"cpus": cpus, "triples": n, "nodes": nn, "edges": ne,
+                  "exported": nx, "wall_sec": round(wall, 2),
+                  "tps": round(n / wall, 1)}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", JOB, str(cpus), str(FILES), str(TPF)],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    small = run(N)
+    big = run(4 * N)
+    eff = round((big["tps"] / small["tps"]) / 4, 3)
+    print(json.dumps({"N": small, "4N": big, "scaling_efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()
