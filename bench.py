@@ -6,8 +6,8 @@ Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
 The KG-construction stages run over a deterministic distributed corpus
 (scale_corpus: JVM-side generation, BENCH_FILES files x BENCH_TPF entity
 blocks) sized so the parse stage dominates, which is the real 100 TB
-bottleneck. The v:sameAs links in the corpus all point at 7 canon
-entities -> the CC stage exercises hot-key skew on purpose.
+bottleneck. sameAs links form sparse medium cliques (realistic entity-
+resolution density ~1/8 of entities).
 
 {"metric": "...", "value": <total sec>, "unit": "sec",
  "queries": {...per-stage sec...}, "sf": ..., "throughput_tps": ...}
@@ -59,13 +59,9 @@ def main() -> None:
     t = transform_triples(raw, cfg)
     t = timed("kg_cc", lambda: canonicalize_triples(t, canonical_map(t)).cache())
     timed("kg_cc_apply", t.count)
-    tables = materialize(t, cfg)
+    tables = materialize(t, cfg, cache_intermediate=True)
     # cache the materialized graph once — SHACL + export fan out over it
-    tables = tables._replace(
-        nodes=tables.nodes.cache(),
-        edges=tables.edges.cache(),
-        node_props=tables.node_props.cache(),
-    )
+    tables = tables._replace(nodes=tables.nodes.cache(), edges=tables.edges.cache())
     timed("kg_nodes", tables.nodes.count)
     timed("kg_edges", tables.edges.count)
     timed("kg_node_props", tables.node_props.count)

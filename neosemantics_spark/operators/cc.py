@@ -44,7 +44,6 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     representative). Only nodes that appear in an edge are returned —
     isolated uris are their own component by definition (callers coalesce).
     """
-    spark = edges.sparkSession
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # current component per node
     comp = (
@@ -55,13 +54,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     e = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # rewrite edge endpoints to current components (star contraction)
+        # rewrite edge endpoints to current components (star contraction).
+        # Checkpoint ONCE and reuse — the naive version recomputed this
+        # join three times per iteration (isEmpty, delta, next-e).
         ec = (
             e.join(comp.withColumnRenamed("uri", "a").withColumnRenamed("component", "ca"), "a")
             .join(comp.withColumnRenamed("uri", "b").withColumnRenamed("component", "cb"), "b")
             .select("ca", "cb")
             .filter(F.col("ca") != F.col("cb"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         if ec.isEmpty():
             break
@@ -69,34 +71,37 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         delta = sym2.groupBy("ca").agg(F.min("cb").alias("new_c")).filter(
             F.col("new_c") < F.col("ca")
         )
-        # min-neighbor update on the contracted graph…
-        comp = comp.join(
+        # min-neighbor update on the contracted graph, then pointer jump
+        # comp(u) := comp(comp(u)) so nodes whose representative itself
+        # moved follow it down (path halving) — fused into one lineage,
+        # checkpointed once
+        comp1 = comp.join(
             delta.select(F.col("ca").alias("component"), "new_c"), "component", "left"
         ).select(
             "uri", F.least(F.coalesce("new_c", "component"), F.col("component")).alias("component")
         )
-        # …then pointer jumping comp(u) := comp(comp(u)) so nodes whose
-        # representative itself moved follow it down (path halving)
-        parent = comp.select(
+        parent = comp1.select(
             F.col("uri").alias("component"), F.col("component").alias("pcomp")
         )
         comp = (
-            comp.join(parent, "component", "left")
+            comp1.join(parent, "component", "left")
             .select("uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"))
             .localCheckpoint(eager=True)
         )
-        e = ec.select(F.col("ca").alias("a"), F.col("cb").alias("b")).localCheckpoint(eager=True)
-    # final flattening: follow representatives until fixpoint (log-depth)
+        e = ec.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+    # final flattening: follow representatives until fixpoint (log-depth).
+    # Convergence check = count of still-moving rows inside the same pass
+    # (NOT exceptAll — that is a full extra shuffle-compare per round).
     for _ in range(max_iter):
         parent = comp.select(F.col("uri").alias("component"), F.col("component").alias("pcomp"))
-        nxt = comp.join(parent, "component", "left").select(
-            "uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component")
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.exceptAll(comp).isEmpty():
-            comp = nxt
+        j = comp.join(parent, "component", "left").select(
+            "uri",
+            F.col("component").alias("old"),
+            F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"),
+        ).localCheckpoint(eager=True)
+        comp = j.select("uri", "component")
+        if j.filter(F.col("old") != F.col("component")).isEmpty():
             break
-        comp = nxt
     return comp
 
 
@@ -105,11 +110,21 @@ def canonical_map(triples: DataFrame) -> DataFrame:
     return connected_components(sameas_edges(triples))
 
 
-def canonicalize_triples(triples: DataFrame, comp: DataFrame, drop_sameas: bool = True) -> DataFrame:
+def canonicalize_triples(
+    triples: DataFrame,
+    comp: DataFrame,
+    drop_sameas: bool = True,
+    broadcast_limit: int = 100_000,
+) -> DataFrame:
     """Rewrite subject/object through the component map (left joins +
-    coalesce — uris outside any clique stay themselves). comp is usually
-    tiny vs. the triples table → broadcast both joins."""
-    c = F.broadcast(comp)
+    coalesce — uris outside any clique stay themselves). Broadcast the map
+    only while it is genuinely small: force-broadcasting a multi-million-
+    row map serializes on the driver and kills scaling (measured: 4N cores
+    ran SLOWER than N with an unconditional broadcast). Above the limit we
+    leave the strategy to AQE (shuffle join; skew-join handles hot
+    components)."""
+    small = comp.limit(broadcast_limit + 1).count() <= broadcast_limit
+    c = F.broadcast(comp) if small else comp
     out = (
         triples.join(
             c.select(F.col("uri").alias("subject"), F.col("component").alias("_cs")),

@@ -102,19 +102,42 @@ def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                           k: int = 3, text_col: str = "text") -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH bucket.
-    The self-join is keyed on (band, bucket) — never all-pairs."""
-    b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
-    l = b.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("a"))
-    r = b.select(F.col("band"), F.col("bucket"), F.col("doc_id").alias("b"))
+def bucket_pairs(b: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """(a, b) pairs of ids sharing a bucket — groupBy + in-array pair
+    expansion instead of a self-join: ONE pass over the upstream pipeline
+    (a self-join would recompute the whole lineage twice) and no join
+    shuffle; bucket groups are small by construction, so the quadratic
+    expansion stays inside one row's array."""
+    grouped = (
+        b.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    n = F.size(ids)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, n),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
     return (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                           k: int = 3, text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH bucket."""
+    b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
+    return bucket_pairs(b, ["band", "bucket"], "doc_id")
 
 
 # --------------------------------------------------------------- jaccard
@@ -187,6 +210,4 @@ def simhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ])
         ).alias("qb"),
     ).select("doc_id", F.col("qb.q").alias("q"), F.col("qb.band").alias("band"))
-    l = quarters.select("q", "band", F.col("doc_id").alias("a"))
-    r = quarters.select("q", "band", F.col("doc_id").alias("b"))
-    return l.join(r, ["q", "band"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return bucket_pairs(quarters, ["q", "band"], "doc_id")

@@ -73,7 +73,12 @@ def transform_triples(
     t = filter_predicates(triples, cfg)
     t = filter_language(t, cfg)
     t = t.filter(F.col("parse_error").isNull())
-    t = dedup_statements(t)
+    # NOTE: no statement-level pre-dedup here (A4). The materialize
+    # aggregations subsume it — per-prop values go through an order-
+    # preserving array_distinct / max_by, labels through collect_set and
+    # edges through dropDuplicates — so paying a full extra shuffle of the
+    # whole triples table up front would buy nothing. `dedup_statements`
+    # stays available for callers that need a deduped statement stream.
     t = with_typed_values(t)
     is_type = (F.col("predicate") == RDF_TYPE) & ~F.col("is_literal")
     t = t.withColumn(
@@ -112,6 +117,7 @@ def materialize(
     triples_t: DataFrame,
     cfg: GraphConfig,
     with_graph_identity: bool = True,
+    cache_intermediate: bool = False,
 ) -> GraphTables:
     """Transformed triples → GraphTables. `triples_t` is the output of
     `transform_triples`. Node identity is (uri, graph) when quads are
@@ -170,6 +176,11 @@ def materialize(
         F.col("lang"),
         F.col("n_types"),
     )
+    if cache_intermediate:
+        # the expensive per-prop aggregation feeds BOTH the node_props
+        # output and the nodes props-map — persist it once so the two
+        # consumers (and any SHACL/export fan-out) don't recompute it
+        node_props = node_props.persist()
 
     # ---------------- labels [A2/T9]
     type_rows = regular.filter(is_type)

@@ -98,7 +98,19 @@ def scale_corpus(
                 F.lit("\"@en ;\n  v:rank "), k,
                 F.lit(" ;\n  v:score "), (k * 7 % 100), F.lit(".5 ;\n  v:linksTo e:n"),
                 (F.col("fid") + 1) % F.lit(n_files), F.lit("_"), k,
-                F.lit(" ;\n  v:sameAs e:canon_"), k % 7, F.lit(" .\n"),
+                # sparse, realistic entity-resolution signal: ~1 in 8
+                # entities carries an owl:sameAs link into a medium clique
+                # (real corpora link a small fraction of mentions; the
+                # 7-global-hub skew stress lives in bench.py, not here)
+                F.when(
+                    k % 8 == 0,
+                    F.concat(
+                        F.lit(" ;\n  v:sameAs e:canon_"),
+                        (F.col("fid") % 997).cast("string"),
+                        F.lit("_"), (k % 7).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit(" .\n"),
             ),
         )
         content = F.concat(header, F.array_join(block, ""))

@@ -178,6 +178,9 @@ def statements_to_rows(
         idx += 1
 
 
+_EMIT_ROWS = 64_000  # flush threshold: bounds worker memory + Arrow frame size
+
+
 def _parse_batches(
     batches: Iterator[pd.DataFrame], abort_on_error: bool
 ) -> Iterator[pd.DataFrame]:
@@ -187,6 +190,9 @@ def _parse_batches(
         for repo, path, commit, lang, content in zip(
             pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
         ):
+            if len(rows) >= _EMIT_ROWS:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
             fmt = sniff_format(lang, path or "", content or "")
             try:
                 stmts = parse_document(fmt, content or "")
@@ -216,15 +222,30 @@ def _parse_batches(
         )
 
 
-def extract_triples(src_files: DataFrame, abort_on_error: bool = False) -> DataFrame:
+def extract_triples(
+    src_files: DataFrame, abort_on_error: bool = False, min_partitions: int | None = None
+) -> DataFrame:
     """src_files(repo,path,commit,lang,content) → triples DF.
 
-    Narrow (shuffle-free) stage; scale knob is the number of input
-    partitions — at 100 TB the source table's file splits drive
-    parallelism, nothing to repartition here.
+    Normally a narrow (shuffle-free) stage: at 100 TB the source table's
+    file splits drive parallelism. BUT parquet readers bin-pack small
+    files up to maxPartitionBytes, so a small/medium corpus can collapse
+    to a handful of input partitions and starve the CPU-bound Python parse
+    (measured: 8→32 cores gave a 1.09× speedup before this fix). When the
+    scan yields fewer partitions than the cluster's parallelism, pay one
+    cheap shuffle of the raw bytes to fan the parse out; at real scale the
+    condition is false and no shuffle happens.
     """
     cols = ["repo", "path", "commit", "lang", "content"]
     src = src_files.select(*cols)
+    target = min_partitions
+    if target is None:
+        try:
+            target = src.sparkSession.sparkContext.defaultParallelism * 2
+        except Exception:  # noqa: BLE001 — e.g. connect-only session
+            target = None
+    if target and src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
     return src.mapInPandas(
         lambda it: _parse_batches(it, abort_on_error), schema=TRIPLES_SCHEMA
     )

@@ -37,23 +37,34 @@ spark = get_spark(f"scaling-{cpus}", cpus=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 corpus = scale_corpus(spark, files, tpf, partitions=max(cpus * 2, 16), fmt="Turtle")
 t0 = time.perf_counter()
+stages = {}
+def mark(name):
+    stages[name] = round(time.perf_counter() - t0 - sum(stages.values()), 2)
 cfg = GraphConfig(handle_vocab_uris=KEEP)
 raw = extract_triples(corpus).cache()
 n = raw.count()
+mark("parse")
 t = transform_triples(raw, cfg)
-t = canonicalize_triples(t, canonical_map(t))
-tables = materialize(t, cfg)
-tables = tables._replace(nodes=tables.nodes.cache(), edges=tables.edges.cache(),
-                         node_props=tables.node_props.cache())
+t = canonicalize_triples(t, canonical_map(t)).cache()
+t.count()
+mark("cc")
+tables = materialize(t, cfg, cache_intermediate=True)
+tables = tables._replace(nodes=tables.nodes.cache(), edges=tables.edges.cache())
 nn = tables.nodes.count()
 ne = tables.edges.count()
+tables.node_props.count()
+mark("materialize")
 nx = to_ntriples_lines(graph_to_triples(tables, cfg).filter(F.col("sspo").isNull())).count()
+mark("export")
 wall = time.perf_counter() - t0
 print(json.dumps({"cpus": cpus, "triples": n, "nodes": nn, "edges": ne,
-                  "exported": nx, "wall_sec": round(wall, 2),
+                  "exported": nx, "wall_sec": round(wall, 2), "stages": stages,
                   "tps": round(n / wall, 1)}))
 spark.stop()
 """
+
+
+REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 
 def run(cpus: int) -> dict:
@@ -66,9 +77,16 @@ def run(cpus: int) -> dict:
     return json.loads(line)
 
 
+def best(cpus: int) -> dict:
+    """Steady-state: run REPS times, keep the fastest (JVM/page-cache
+    warmup and background noise make single runs ±30%)."""
+    runs = [run(cpus) for _ in range(REPS)]
+    return min(runs, key=lambda r: r["wall_sec"])
+
+
 def main() -> None:
-    small = run(N)
-    big = run(4 * N)
+    small = best(N)
+    big = best(4 * N)
     eff = round((big["tps"] / small["tps"]) / 4, 3)
     print(json.dumps({"N": small, "4N": big, "scaling_efficiency": eff}))
 

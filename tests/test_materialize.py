@@ -42,9 +42,11 @@ def test_keep_overwrite(spark, raw):
     tables = materialize(t, cfg)
     nodes = tables.nodes.toPandas()
     p = _props(nodes, "http://example.org/item1")
-    # OVERWRITE: last value in canonical statement order wins
+    # OVERWRITE: last value in canonical statement order wins — including
+    # a re-occurrence of an earlier value (reference overwrites per
+    # statement, RDFToLPGStatementProcessor.java:346-349)
     assert p["http://example.org/weight"] == "12"
-    assert p["http://example.org/tag"] == "b"  # last of a,b,a
+    assert p["http://example.org/tag"] == "a"  # last of a,b,a
     # untagged name: two lang values, keepLangTag=False strips tags, last wins
     assert p["http://example.org/name"] == "premier"
 

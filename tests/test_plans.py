@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the properties that keep the engine
+fast at 100 TB (SURVEY.md §4): pruning, pushdown, partition pruning,
+broadcast strategy. These fail if a refactor silently degrades the plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosemantics_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast,
+    partition_filters,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from neosemantics_spark.operators import dedup
+
+    # another module may have cached this exact scan → InMemoryTableScan
+    # would hide the parquet ReadSchema we're asserting on
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(dedup.exact_dup_groups(docs))
+    schemas = read_schemas(plan)
+    # only doc_id + text are read, not lang/source/n_chars
+    assert schemas and all("n_chars" not in s and "source" not in s for s in schemas)
+
+
+def test_predicate_pushdown_on_queries(spark, sf_dir):
+    from neosemantics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = formatted_plan(similarity.brute_force_topk(emb, [0, 1], k=3))
+    pf = pushed_filters(plan)
+    assert any("In(vec_id" in f for f in pf), pf
+    # queries side broadcast, corpus side streamed
+    assert has_broadcast(plan)
+
+
+def test_partition_pruning_on_edges(spark, tmp_path):
+    import pandas as pd
+
+    from neosemantics_spark.config import KEEP, GraphConfig
+    from neosemantics_spark.operators.materialize import (
+        materialize,
+        transform_triples,
+        write_edges_partitioned,
+    )
+    from neosemantics_spark.sources.datagen import fixture_corpus
+    from neosemantics_spark.sources.parse import extract_triples
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    tb = materialize(transform_triples(extract_triples(fixture_corpus(spark)), cfg), cfg)
+    out = str(tmp_path / "edges")
+    write_edges_partitioned(tb.edges, out, cfg)
+    filtered = spark.read.parquet(out).filter(F.col("rel") == "http://example.org/child")
+    plan = formatted_plan(filtered)
+    assert any("rel" in f for f in partition_filters(plan)), plan[:500]
+    assert filtered.count() == 2
+
+
+def test_parse_filter_prunes_source_columns(spark, sf_dir):
+    """Filters on provenance columns stay upstream of the Python stage
+    where possible; the source scan never reads more than the 5 columns."""
+    from neosemantics_spark.sources.datagen import src_files_from_documents
+    from neosemantics_spark.sources.parse import extract_triples
+
+    src = src_files_from_documents(spark, sf_dir, "N-Triples")
+    plan = formatted_plan(extract_triples(src))
+    schemas = read_schemas(plan)
+    assert schemas
+    # the documents scan feeds only the columns the content derivation uses
+    assert all("embedding" not in s for s in schemas)
