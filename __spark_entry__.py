@@ -336,6 +336,32 @@ def q_skos_route(spark: SparkSession, sf: str) -> DataFrame:
     return inference.route_skos(trip).distinct().select("src", "rel", "dst")
 
 
+def q_kg_json_tree(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 JSON-as-tree importer over deterministic JSON derived from
+    documents; the oracle recomputes the path-derived skolem bnode ids
+    with sha256 — full structural check of the tree mapping."""
+    from neosemantics_spark.sources.json_tree import import_json_as_tree
+
+    docs = _docs(spark, sf)
+    content = F.to_json(
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("chars"),
+            F.struct(F.col("source").alias("name")).alias("src"),
+        )
+    )
+    src = docs.select(
+        F.lit("org/docs").alias("repo"),
+        F.concat(F.lit("j/"), F.col("doc_id").cast("string"), F.lit(".json")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        content.alias("content"),
+    )
+    t = import_json_as_tree(src)
+    return t.filter(F.col("parse_error").isNull()).select(
+        "path", "subject", "predicate", "object", "is_literal"
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     return media_stats(synthetic_media(spark, 256)).select(
         "kind", "n", "total_bytes", "avg_width", "avg_duration_ms"
@@ -378,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inference_nodes": q_inference_nodes,
         "skos_route": q_skos_route,
         "multimodal_stats": q_multimodal_stats,
+        "kg_json_tree": q_kg_json_tree,
     }
 
 
@@ -667,5 +694,19 @@ WITH m AS (
 SELECT kind, count(*) AS n, sum(nbytes) AS total_bytes,
        floor(avg(width) * 10000 + 0.5) / 10000 AS avg_width, floor(avg(dur) * 10000 + 0.5) / 10000 AS avg_duration_ms
 FROM t GROUP BY kind
+"""
+    out["kg_json_tree"] = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars, source,
+         'j/' || doc_id || '.json' AS path,
+         'bnode://' || substr(sha256('org/docs|j/' || doc_id || '.json|' || repeat('0', 40) || '|j_src'), 1, 32) AS bn,
+         'http://example.org/container/j/' || doc_id || '.json' AS root
+  FROM documents
+)
+SELECT path, root AS subject, 'http://example.org/json#lang' AS predicate, lang AS object, true AS is_literal FROM b
+UNION ALL SELECT path, root, 'http://example.org/json#chars', CAST(n_chars AS VARCHAR), true FROM b
+UNION ALL SELECT path, root, 'http://example.org/json#src', bn, false FROM b
+UNION ALL SELECT path, bn, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/json#Src', false FROM b
+UNION ALL SELECT path, bn, 'http://example.org/json#name', source, true FROM b
 """
     return out

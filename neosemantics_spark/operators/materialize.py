@@ -50,7 +50,14 @@ from .transforms import (
 )
 
 def _ord():
-    return F.struct("repo", "path", "commit", "stmt_idx")
+    """Canonical statement order key. A single packed string instead of a
+    (repo, path, commit, stmt_idx) struct: the aggregation buffers below
+    hold one of these per collected value, and three long strings + a long
+    per value made the per-task aggregation state spill at high thread
+    counts (execution memory is divided per task)."""
+    return F.concat_ws(
+        "|", "repo", "path", "commit", F.lpad(F.col("stmt_idx").cast("string"), 10, "0")
+    )
 
 
 class GraphTables(NamedTuple):
@@ -129,30 +136,45 @@ def materialize(
 
     # ---------------- properties: groupBy (subject, gkey, predicate) [A1/A3]
     lit_rows = regular.filter(F.col("is_literal"))
-    sorted_vals = F.array_sort(
-        F.collect_list(
-            F.struct(_ord().alias("o"), F.col("value").alias("v"), F.col("value_type").alias("t"))
-        )
-    )
-    per_prop = lit_rows.groupBy("subject", "gkey", "pred_t").agg(
+    need_arrays = cfg.handle_multival == ARRAY or cfg.strict_data_type_check
+    aggs = [
         F.max_by("value", _ord()).alias("last_value"),
-        sorted_vals.alias("_sorted"),
-        F.count_distinct(F.col("value_type")).alias("n_types"),
+        # type-conflict flag without count_distinct — count_distinct plans
+        # an Expand (doubles the shuffled rows); min!=max is one hash agg
+        (F.min("value_type") != F.max("value_type")).alias("_mixed"),
         F.max_by("value_type", _ord()).alias("value_type"),
         F.max_by("datatype", _ord()).alias("datatype"),
         F.max_by("lang", _ord()).alias("lang"),
         F.min("graph").alias("graph"),
         F.min("predicate").alias("_pred_raw"),
-    )
-    # A3 heterogeneous-type resolution (DirectStatementLoader.java:161-211):
-    # strict ⇒ discard values whose type conflicts with the first-stored
-    # value's type; non-strict ⇒ array keeps everything as strings (our
-    # canonical `value` is already the lexical string form).
-    kept = F.col("_sorted")
-    if cfg.strict_data_type_check:
-        first_t = F.element_at(F.col("_sorted"), 1)["t"]
-        kept = F.filter(kept, lambda x: x["t"] == first_t)
-    all_values = F.array_distinct(F.transform(kept, lambda x: x["v"]))
+    ]
+    if need_arrays:
+        # the collect_list buffer is the expensive part (per-task
+        # aggregation state) — only build it when ARRAY/strict semantics
+        # actually need the full value list
+        aggs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        _ord().alias("o"), F.col("value").alias("v"), F.col("value_type").alias("t")
+                    )
+                )
+            ).alias("_sorted")
+        )
+    per_prop = lit_rows.groupBy("subject", "gkey", "pred_t").agg(*aggs)
+    per_prop = per_prop.withColumn("n_types", F.when(F.col("_mixed"), 2).otherwise(1))
+    if need_arrays:
+        # A3 heterogeneous-type resolution (DirectStatementLoader.java:161-211):
+        # strict ⇒ discard values whose type conflicts with the first-stored
+        # value's type; non-strict ⇒ array keeps everything as strings (our
+        # canonical `value` is already the lexical string form).
+        kept = F.col("_sorted")
+        if cfg.strict_data_type_check:
+            first_t = F.element_at(F.col("_sorted"), 1)["t"]
+            kept = F.filter(kept, lambda x: x["t"] == first_t)
+        all_values = F.array_distinct(F.transform(kept, lambda x: x["v"]))
+    else:
+        all_values = F.array(F.col("last_value"))
     if cfg.handle_multival == ARRAY:
         if cfg.multival_prop_list:
             # multivalPropList holds full predicate IRIs

@@ -62,7 +62,7 @@ def import_rdf(
         t = canonicalize_triples(t, comp)
     if cache_triples:
         t = t.cache()
-    tables = materialize(t, cfg)
+    tables = materialize(t, cfg, cache_intermediate=cache_triples)
     loaded = t.count()  # transform_triples already drops quarantined rows
     return ImportResult(
         tables=tables,

@@ -17,6 +17,10 @@ def get_spark(app: str = "neosemantics-spark", cpus: int | None = None) -> Spark
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
+        # one task per core by default; AQE re-coalesces. Heavy string
+        # aggregations at high thread counts benefit from cpus*4 (smaller
+        # per-task hash state — measured 21s -> 4s on node_props at 16
+        # threads): the scaling/bench jobs override this themselves.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
