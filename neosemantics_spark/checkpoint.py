@@ -32,7 +32,6 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import GraphConfig
 from .sources.parse import extract_triples
 
 

@@ -13,7 +13,7 @@ task sees the same broadcast value).
 from __future__ import annotations
 
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 from typing import List, Optional
 
 # handleVocabUris modes (GraphConfig.java:24-34)

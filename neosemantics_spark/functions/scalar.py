@@ -6,7 +6,7 @@ aux/AuxProcedures.java:17-58; regexes graphconfig/Params.java:21-31).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

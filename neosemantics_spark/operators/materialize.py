@@ -29,18 +29,10 @@ from typing import Dict, NamedTuple, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import (
-    LABELS,
-    LABELS_AND_NODES,
-    NODES,
-    ARRAY,
-    OVERWRITE,
-    GraphConfig,
-)
+from ..config import ARRAY, LABELS, LABELS_AND_NODES, NODES, GraphConfig
 from ..rdf.terms import RDF_TYPE
 from .prefixes import shorten_expr
 from .transforms import (
-    dedup_statements,
     filter_language,
     filter_predicates,
     iri_transform_expr,

@@ -12,8 +12,7 @@ run-to-run (SURVEY.md §4 "deterministic prefix resolution").
 
 from __future__ import annotations
 
-import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -10,7 +10,7 @@ Reference semantics: /root/reference/src/main/java/n10s/RDFToLPGStatementProcess
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,7 +23,7 @@ from ..config import (
     SHORTEN_STRICT,
     GraphConfig,
 )
-from ..rdf.terms import RDF_LANGSTRING, RDF_TYPE, XSD
+from ..rdf.terms import RDF_LANGSTRING, XSD
 from .prefixes import local_name_of, shorten_expr
 
 WKT_DT = "http://www.opengis.net/ont/geosparql#wktLiteral"

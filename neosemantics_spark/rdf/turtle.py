@@ -15,7 +15,7 @@ document "Rio parser" analogue of the reference's format-dispatch source
 from __future__ import annotations
 
 import re
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional
 
 from .terms import (
     RDF_FIRST,

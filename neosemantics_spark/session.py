@@ -11,9 +11,16 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app: str = "neosemantics-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app: str = "neosemantics-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        env_sp = os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else max(cpus, 8)
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
@@ -21,7 +28,7 @@ def get_spark(app: str = "neosemantics-spark", cpus: int | None = None) -> Spark
         # aggregations at high thread counts benefit from cpus*4 (smaller
         # per-task hash state — measured 21s -> 4s on node_props at 16
         # threads): the scaling/bench jobs override this themselves.
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

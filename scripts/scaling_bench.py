@@ -33,7 +33,7 @@ from neosemantics_spark.sources.datagen import scale_corpus
 from neosemantics_spark.sources.parse import extract_triples
 
 cpus, files, tpf = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-spark = get_spark(f"scaling-{cpus}", cpus=cpus)
+spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=cpus * 4)
 spark.sparkContext.setLogLevel("ERROR")
 corpus = scale_corpus(spark, files, tpf, partitions=max(cpus * 2, 16), fmt="Turtle")
 t0 = time.perf_counter()
