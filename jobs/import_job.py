@@ -1,0 +1,89 @@
+"""Production entrypoint — the north rule's `spark-submit --py-files` job.
+
+Reads a src_files-shaped parquet/Iceberg table, runs the full
+KG-construction pipeline incrementally against a checkpoint, writes
+nodes/edges/triples outputs, prints a JSON metrics line.
+
+Example:
+    zip -r /tmp/pkg.zip neosemantics_spark
+    spark-submit --py-files /tmp/pkg.zip jobs/import_job.py \
+        --input /data/src_files --output /data/kg --checkpoint /data/ckpt \
+        --vocab SHORTEN --multival ARRAY
+
+On a real cluster the same file is submitted with --master yarn/k8s; the
+pipeline contains no local-mode assumptions (partitioning is derived from
+the input splits, all joins size-gated/AQE-planned).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="src_files parquet path")
+    ap.add_argument("--output", required=True, help="output root (nodes/edges/triples)")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint root for resumable runs")
+    ap.add_argument("--vocab", default="SHORTEN", choices=["SHORTEN", "SHORTEN_STRICT", "IGNORE", "MAP", "KEEP"])
+    ap.add_argument("--multival", default="OVERWRITE", choices=["OVERWRITE", "ARRAY"])
+    ap.add_argument("--keep-lang-tag", action="store_true")
+    ap.add_argument("--no-entity-linking", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from neosemantics_spark.checkpoint import ImportCheckpoint
+    from neosemantics_spark.config import GraphConfig
+    from neosemantics_spark.operators.cc import canonical_map, canonicalize_triples
+    from neosemantics_spark.operators.materialize import (
+        materialize,
+        transform_triples,
+        write_edges_partitioned,
+    )
+    from neosemantics_spark.operators.prefixes import build_prefix_map, collect_namespaces
+
+    spark = SparkSession.builder.getOrCreate()
+    cfg = GraphConfig(
+        handle_vocab_uris=args.vocab,
+        handle_multival=args.multival,
+        keep_lang_tag=args.keep_lang_tag,
+    )
+    src = spark.read.parquet(args.input)
+    cp = ImportCheckpoint(spark, args.checkpoint)
+    res = cp.run(src, run_id=args.run_id)
+    if res.triples is None:
+        print(json.dumps({"run_id": res.run_id, "new_files": 0, "status": "up-to-date"}))
+        return
+    triples = res.triples.cache()
+    ns = {}
+    if cfg.handle_vocab_uris in ("SHORTEN", "SHORTEN_STRICT"):
+        ns = build_prefix_map(collect_namespaces(triples))
+    t = transform_triples(triples, cfg, ns)
+    if not args.no_entity_linking:
+        t = canonicalize_triples(t, canonical_map(t))
+    tables = materialize(t, cfg, cache_intermediate=True)
+    tables.nodes.write.mode("overwrite").parquet(f"{args.output}/nodes")
+    write_edges_partitioned(tables.edges, f"{args.output}/edges", cfg)
+    tables.node_props.write.mode("overwrite").parquet(f"{args.output}/node_props")
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "new_files": res.new_files,
+                "skipped_files": res.skipped_files,
+                "nodes": spark.read.parquet(f"{args.output}/nodes").count(),
+                "edges": spark.read.parquet(f"{args.output}/edges").count(),
+                "namespaces": len(ns),
+                "status": "ok",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,10 @@ def transform_triples(
     subject, pred_t (transformed predicate), object (raw), value (canonical
     literal string), typed value cols, label_t (transformed object when
     rdf:type), dst (object as node uri)."""
+    if cfg.handle_vocab_uris == "SHORTEN_STRICT":
+        from .prefixes import validate_namespaces
+
+        validate_namespaces(triples, ns_to_prefix or {})
     t = filter_predicates(triples, cfg)
     t = filter_language(t, cfg)
     t = t.filter(F.col("parse_error").isNull())

@@ -68,6 +68,16 @@ def build_prefix_map(namespaces: List[str], extra: Optional[Dict[str, str]] = No
     return ns_to_prefix
 
 
+def validate_namespaces(triples: DataFrame, ns_to_prefix: Dict[str, str]) -> None:
+    """SHORTEN_STRICT: any namespace in use but absent from the prefix map
+    raises (NsPrefixMap.java:109-112 throws on undefined prefixes)."""
+    unknown = [ns for ns in collect_namespaces(triples) if ns not in ns_to_prefix]
+    if unknown:
+        raise ValueError(
+            f"SHORTEN_STRICT: undefined namespace prefixes for {sorted(unknown)[:10]}"
+        )
+
+
 def shorten_expr(col, ns_to_prefix: Dict[str, str], strict: bool = False):
     """IRI column → 'prefix__local'. Implemented as a chained `F.when` over
     the broadcast-sized prefix dict (compiles to JVM-side expressions, stays

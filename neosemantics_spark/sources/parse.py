@@ -122,6 +122,17 @@ def parse_document(fmt: str, content: str, base: Optional[str] = None) -> List[S
         return parse_rdfxml(content, base)
 
 
+def _decompress(path: str, content: str) -> str:
+    import base64
+    import bz2
+    import gzip
+
+    raw = base64.b64decode(content)
+    if path.endswith(".gz"):
+        return gzip.decompress(raw).decode("utf-8")
+    return bz2.decompress(raw).decode("utf-8")
+
+
 def _skolem(repo: str, path: str, commit: str, label: str) -> str:
     h = hashlib.sha256(f"{repo}|{path}|{commit}|{label}".encode()).hexdigest()[:32]
     return "bnode://" + h
@@ -193,7 +204,26 @@ def _parse_batches(
             if len(rows) >= _EMIT_ROWS:
                 yield pd.DataFrame(rows, columns=cols)
                 rows = []
-            fmt = sniff_format(lang, path or "", content or "")
+            path = path or ""
+            # S2 compressed-payload passthrough (CommonProcedures.java:139-183):
+            # *.gz / *.bz2 paths carry base64(compressed bytes) in `content`
+            if path.endswith((".gz", ".bz2")):
+                try:
+                    content = _decompress(path, content or "")
+                    path = path.rsplit(".", 1)[0]
+                except Exception as e:  # noqa: BLE001
+                    if abort_on_error:
+                        raise
+                    rows.append(
+                        {
+                            **{c: None for c in cols},
+                            "repo": repo, "path": path, "commit": commit,
+                            "stmt_idx": -1,
+                            "parse_error": f"{type(e).__name__}: {e}"[:500],
+                        }
+                    )
+                    continue
+            fmt = sniff_format(lang, path, content or "")
             try:
                 stmts = parse_document(fmt, content or "")
                 rows.extend(statements_to_rows(stmts, repo, path, commit))
