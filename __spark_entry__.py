@@ -362,6 +362,12 @@ def q_kg_json_tree(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # low threshold so the sf-corpus (random-ish vectors) yields rows
+    return similarity.embedding_near_dups(emb, threshold=0.5, nbits=4).select("a", "b", "score")
+
+
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     return media_stats(synthetic_media(spark, 256)).select(
         "kind", "n", "total_bytes", "avg_width", "avg_duration_ms"
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skos_route": q_skos_route,
         "multimodal_stats": q_multimodal_stats,
         "kg_json_tree": q_kg_json_tree,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -708,5 +715,20 @@ UNION ALL SELECT path, root, 'http://example.org/json#chars', CAST(n_chars AS VA
 UNION ALL SELECT path, root, 'http://example.org/json#src', bn, false FROM b
 UNION ALL SELECT path, bn, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/json#Src', false FROM b
 UNION ALL SELECT path, bn, 'http://example.org/json#name', source, true FROM b
+"""
+    out["embedding_near_dups"] = """
+WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         array_to_string(list_transform(embedding[1:4],
+                         x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), s AS (
+  SELECT l.id AS a, r.id AS b,
+         floor(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+               * 10000 + 0.5) / 10000 AS score
+  FROM e l JOIN e r ON l.bucket = r.bucket AND l.id < r.id
+)
+SELECT a, b, score FROM s WHERE score >= 0.5
 """
     return out

@@ -126,3 +126,30 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates →
+    exact cosine ≥ threshold. The scale path for semantic dedup of a
+    training corpus: candidate generation is an equi-join on the bucket
+    key (near-identical vectors share the sign pattern of every
+    coordinate), exact scoring only within buckets."""
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        sign_lsh_bucket(F.col(vec_col), nbits).alias("bucket"),
+    )
+    l = with_bucket.select("bucket", F.col("id").alias("a"), F.col("vec").alias("va"))
+    r = with_bucket.select("bucket", F.col("id").alias("b"), F.col("vec").alias("vb"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", round4(cosine(F.col("va"), F.col("vb"))).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
