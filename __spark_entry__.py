@@ -362,6 +362,18 @@ def q_kg_json_tree(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sco_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """Deep-hierarchy transitive closure (J7): binary-tree SCO edges
+    cat_i -> cat_{i//2} derived from documents; oracle = recursive CTE."""
+    docs = _docs(spark, sf).filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 63))
+    edges = docs.select(
+        F.concat(F.lit("cat"), F.col("doc_id").cast("string")).alias("src"),
+        F.lit("SCO").alias("rel"),
+        F.concat(F.lit("cat"), F.floor(F.col("doc_id") / 2).cast("string")).alias("dst"),
+    )
+    return inference.transitive_closure(edges).select("descendant", "ancestor")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     # low threshold so the sf-corpus (random-ish vectors) yields rows
@@ -412,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "kg_json_tree": q_kg_json_tree,
         "embedding_near_dups": q_embedding_near_dups,
+        "sco_closure": q_sco_closure,
     }
 
 
@@ -730,5 +743,19 @@ WITH e AS (
   FROM e l JOIN e r ON l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
+"""
+    out["sco_closure"] = """
+WITH RECURSIVE edges AS (
+  SELECT 'cat' || doc_id AS src, 'cat' || CAST(doc_id // 2 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id BETWEEN 1 AND 63
+), nodes AS (
+  SELECT src AS n FROM edges UNION SELECT dst FROM edges
+), clo AS (
+  SELECT n AS descendant, n AS ancestor FROM nodes
+  UNION
+  SELECT e.src, c.ancestor
+  FROM edges e JOIN clo c ON e.dst = c.descendant
+)
+SELECT descendant, ancestor FROM clo
 """
     return out

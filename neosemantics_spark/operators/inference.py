@@ -125,3 +125,66 @@ def rels_with_inference(edges: DataFrame, closure_spo: DataFrame, rel: str) -> D
         F.col("descendant").alias("rel")
     )
     return edges.join(F.broadcast(sub), "rel", "inner")
+
+
+OWL_RESTRICTION_PREDS = {
+    OWL + "onProperty": "onProperty",
+    OWL + "someValuesFrom": "someValuesFrom",
+    OWL + "allValuesFrom": "allValuesFrom",
+    OWL + "cardinality": "cardinality",
+    OWL + "minCardinality": "minCardinality",
+    OWL + "maxCardinality": "maxCardinality",
+    OWL + "hasValue": "hasValue",
+}
+
+
+def assemble_restrictions(triples: DataFrame) -> DataFrame:
+    """OWL restriction assembly (§2.8): anonymous owl:Restriction bnodes
+    are stitched back together and attached to the classes that reference
+    them — `B rdfs:subClassOf [ owl:onProperty P ; owl:someValuesFrom C ]`
+    becomes an (B, SCO_RESTRICTION, C) edge with {onProperty, kind} props.
+
+    Reference builds these statefully during the parse stream
+    (onto/OntologyImporter.java:245-289 builders, :453-502 writer,
+    onto/OWLRestriction.java); here it is one groupBy(bnode) pivot + one
+    join — the per-triple router stays stateless (SURVEY.md §2.8).
+    """
+    pred_map = F.create_map(*[F.lit(x) for kv in OWL_RESTRICTION_PREDS.items() for x in kv])
+    is_restriction_row = F.col("predicate").isin(list(OWL_RESTRICTION_PREDS)) | (
+        (F.col("predicate") == RDF_TYPE) & (F.col("object") == OWL + "Restriction")
+    )
+    rows = triples.filter(
+        is_restriction_row & F.col("subject").startswith("bnode://")
+    ).select(
+        F.col("subject").alias("bnode"),
+        F.coalesce(pred_map[F.col("predicate")], F.lit("_type")).alias("key"),
+        F.col("object").alias("val"),
+    )
+    assembled = (
+        rows.filter(F.col("key") != "_type")
+        .groupBy("bnode")
+        .agg(F.map_from_entries(F.array_sort(F.collect_list(F.struct("key", "val")))).alias("props"))
+    )
+    target = F.coalesce(
+        F.col("props")["someValuesFrom"], F.col("props")["allValuesFrom"],
+        F.col("props")["hasValue"], F.col("props")["onProperty"],
+    )
+    kind = (
+        F.when(F.col("props")["someValuesFrom"].isNotNull(), "some")
+        .when(F.col("props")["allValuesFrom"].isNotNull(), "all")
+        .when(F.col("props")["hasValue"].isNotNull(), "hasValue")
+        .otherwise("cardinality")
+    )
+    links = triples.filter(
+        F.col("predicate").isin([RDFS + "subClassOf", OWL + "equivalentClass"])
+        & F.col("object").startswith("bnode://")
+    ).select(
+        F.col("subject").alias("src"),
+        F.when(F.col("predicate") == RDFS + "subClassOf", "SCO_RESTRICTION")
+        .otherwise("EQC_RESTRICTION")
+        .alias("rel"),
+        F.col("object").alias("bnode"),
+    )
+    return links.join(assembled, "bnode", "inner").select(
+        "src", "rel", target.alias("dst"), kind.alias("kind"), "props"
+    )

@@ -119,3 +119,59 @@ def test_ntriples_multiline_roundtrip(pairs):
     assert len(stmts) == len(pairs)
     for (a, b), s in zip(pairs, stmts):
         assert s.s == IRI(f"http://e/s{a}") and s.o.lexical == f"v{a}_{b}"
+
+
+def test_rdfxml_collection_and_li():
+    from neosemantics_spark.rdf.rdfxml import parse_rdfxml
+    from neosemantics_spark.rdf.terms import RDF
+
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://e/">
+  <rdf:Description rdf:about="http://e/s">
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://e/i1"/>
+      <rdf:Description rdf:about="http://e/i2"/>
+    </ex:items>
+    <ex:bag><rdf:Description rdf:nodeID="b"><rdf:li>one</rdf:li><rdf:li>two</rdf:li></rdf:Description></ex:bag>
+    <ex:res rdf:parseType="Resource"><ex:inner>v</ex:inner></ex:res>
+  </rdf:Description>
+</rdf:RDF>"""
+    stmts = parse_rdfxml(xml)
+    firsts = [s for s in stmts if s.p.value == RDF + "first"]
+    assert {f.o.value for f in firsts} == {"http://e/i1", "http://e/i2"}
+    rests = [s for s in stmts if s.p.value == RDF + "rest"]
+    assert any(r.o.value == RDF + "nil" for r in rests)
+    lis = sorted(s.p.value for s in stmts if "_" in s.p.value.rsplit("#", 1)[-1])
+    assert lis == [RDF + "_1", RDF + "_2"]
+    inner = [s for s in stmts if s.p.value == "http://e/inner"]
+    assert inner and inner[0].o.lexical == "v"
+
+
+def test_jsonld_graph_and_list():
+    from neosemantics_spark.rdf.jsonld import parse_jsonld
+    from neosemantics_spark.rdf.terms import RDF
+
+    doc = """{
+      "@context": {"p": "http://e/p", "lst": {"@id": "http://e/lst"}},
+      "@graph": [
+        {"@id": "http://e/a", "p": {"@value": "5", "@type": "http://www.w3.org/2001/XMLSchema#integer"}},
+        {"@id": "http://e/b", "lst": {"@list": ["x", "y"]}}
+      ]
+    }"""
+    stmts = parse_jsonld(doc)
+    typed = [s for s in stmts if s.p.value == "http://e/p"]
+    assert typed[0].o.datatype.endswith("integer") and typed[0].o.lexical == "5"
+    firsts = [s.o.lexical for s in stmts if s.p.value == RDF + "first"]
+    assert firsts == ["x", "y"]
+
+
+def test_jsonld_named_graph_context():
+    from neosemantics_spark.rdf.jsonld import parse_jsonld
+
+    doc = """{
+      "@context": {"p": "http://e/p"},
+      "@id": "http://e/g1",
+      "@graph": [{"@id": "http://e/a", "p": "v"}]
+    }"""
+    stmts = parse_jsonld(doc)
+    assert stmts[0].g == "http://e/g1"
