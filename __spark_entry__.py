@@ -711,7 +711,7 @@ WITH m AS (
          72 AS nbytes, id % 640 + 1 AS width, (id * 1000) % 60000 AS dur
   FROM m
 )
-SELECT kind, count(*) AS n, sum(nbytes) AS total_bytes,
+SELECT kind, count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS total_bytes,
        floor(avg(width) * 10000 + 0.5) / 10000 AS avg_width, floor(avg(dur) * 10000 + 0.5) / 10000 AS avg_duration_ms
 FROM t GROUP BY kind
 """

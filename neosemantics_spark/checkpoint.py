@@ -73,13 +73,50 @@ class ImportCheckpoint:
         return _table(self.spark, self.triples_root)
 
     # ---------------------------------------------------------------- run
+    def _derive_run_id(self, todo: DataFrame, key: list[str]) -> str:
+        """Deterministic run id from the todo-set content: an
+        order-independent sum of per-file hashes (decimal — no overflow)
+        plus the file count. A retry after a crash recomputes the SAME
+        todo set → SAME run_id → overwrites its own run directory and
+        partitions instead of duplicating them."""
+        row = todo.agg(
+            F.sum(F.xxhash64(*key).cast("decimal(20,0)")).alias("h"),
+            F.count("*").alias("n"),
+        ).first()
+        digest = int(row["h"] or 0) % (16**12)
+        return f"r{row['n']}x{digest:012x}"
+
+    def _prune_orphan_runs(self) -> None:
+        """Delete triples/run_id=<id> directories whose run_id never made it
+        into processed_files — leftovers of a crash between the triples
+        write and the checkpoint commit whose todo set has since changed
+        (same-todo retries simply overwrite the same directory). Without
+        this, all_triples() would double-count the orphaned rows. Local-FS
+        analogue of an Iceberg orphan-file cleanup."""
+        import shutil
+
+        if not os.path.isdir(self.triples_root):
+            return
+        done = self.processed()
+        committed = set()
+        if done is not None and "run_id" in done.columns:
+            committed = {r["run_id"] for r in done.select("run_id").distinct().collect()}
+        for name in os.listdir(self.triples_root):
+            if name.startswith("run_id=") and name.split("=", 1)[1] not in committed:
+                shutil.rmtree(os.path.join(self.triples_root, name), ignore_errors=True)
+
     def run(self, src_files: DataFrame, run_id: Optional[str] = None) -> IncrementalResult:
         """Process only files not yet in the checkpoint; write triples for
         this run under triples/run_id=<id>/, then commit lineage +
-        processed rows (write-then-commit ordering = crash safety: a crash
-        before the commit leaves the delta unrecorded → next run redoes it
-        idempotently, overwriting its own run directory)."""
-        run_id = run_id or time.strftime("%Y%m%d%H%M%S")
+        processed rows.
+
+        Crash safety: run_id is derived from the todo-set content hash, so
+        a retry after a crash anywhere before the final commit recomputes
+        the same todo → same run_id → every write below (triples directory
+        overwrite, lineage/processed dynamic-partition overwrite keyed by
+        run_id) replaces rather than duplicates. Orphan run directories
+        from a crashed run whose todo set has since changed are pruned
+        before processing."""
         src = src_files.withColumn("content_sha", F.sha2("content", 256))
         done = self.processed()
         key = ["repo", "path", "commit", "content_sha"]
@@ -87,9 +124,13 @@ class ImportCheckpoint:
             todo = src.join(done.select(*key), key, "left_anti")
         else:
             todo = src
+        self._prune_orphan_runs()
         todo = todo.cache()
         n_new = todo.count()
         n_total = src.count()
+        run_id = run_id or (
+            self._derive_run_id(todo, key) if n_new else time.strftime("%Y%m%d%H%M%S")
+        )
         if n_new == 0:
             self.spark.createDataFrame(
                 [(run_id, 0, n_total, 0, 0)],
@@ -100,7 +141,8 @@ class ImportCheckpoint:
         out_dir = os.path.join(self.triples_root, f"run_id={run_id}")
         triples.write.mode("overwrite").parquet(out_dir)
         written = self.spark.read.parquet(out_dir)
-        # per-file lineage ledger (the per-partition commit record)
+        # per-file lineage ledger (the per-partition commit record);
+        # partitioned by run_id + dynamic overwrite → retry-idempotent
         lineage = (
             written.groupBy("repo", "path", "commit")
             .agg(
@@ -109,9 +151,19 @@ class ImportCheckpoint:
             )
             .withColumn("run_id", F.lit(run_id))
         )
-        lineage.write.mode("append").parquet(self.lineage_path)
-        todo.select(*key).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-            self.processed_path
+        (
+            lineage.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .parquet(self.lineage_path)
+        )
+        (
+            todo.select(*key)
+            .withColumn("run_id", F.lit(run_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .parquet(self.processed_path)
         )
         n_triples = written.filter(F.col("parse_error").isNull()).count()
         n_errors = written.filter(F.col("parse_error").isNotNull()).count()

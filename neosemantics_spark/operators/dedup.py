@@ -53,8 +53,15 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep the min-doc_id representative per distinct text."""
-    w = docs.groupBy(F.col(text_col).alias("_t")).agg(F.min("doc_id").alias("doc_id"))
+    """Keep the min-doc_id representative per distinct text.
+
+    Groups by sha2(text, 256) — NOT the raw text column — so the shuffle
+    key is 64 bytes/doc instead of the document itself (at corpus scale,
+    grouping by raw text shuffles the whole corpus). Collision-safe at any
+    realistic corpus size (2^256 space)."""
+    w = docs.groupBy(F.sha2(F.col(text_col), 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
     return docs.join(w.select("doc_id"), "doc_id", "left_semi")
 
 
@@ -147,20 +154,34 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
     """Exact k-shingle Jaccard for pairs above threshold.
     Without `candidates`, joins on shared shingles (index join — still not
     all-pairs; worst case bounded by shingle-posting sizes). With
-    `candidates` (e.g. from MinHash-LSH), verifies only those pairs —
-    the scale path."""
+    `candidates` (e.g. from MinHash-LSH), the shingle postings are
+    semi-joined down to candidate doc ids BEFORE the posting self-join, so
+    the expensive pair expansion only ever sees candidate documents — the
+    scale path. (A hot shingle over the full corpus would otherwise make
+    the self-join quadratic regardless of the candidate set.)"""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_pair = sh
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("a").alias("doc_id"))
+            .union(candidates.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        # restrict postings to candidate docs FIRST — this semi-join must
+        # precede the self-join (asserted by tests/test_plans.py)
+        sh_pair = sh.join(cand_ids, "doc_id", "left_semi")
     pair_common = (
-        sh.select(F.col("doc_id").alias("a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        sh_pair.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh_pair.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
     if candidates is not None:
+        # exact-pair restriction (cheap now: both sides candidate-only)
         pair_common = pair_common.join(candidates, ["a", "b"], "left_semi")
     out = (
         pair_common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")

@@ -269,12 +269,19 @@ def extract_triples(
     cols = ["repo", "path", "commit", "lang", "content"]
     src = src_files.select(*cols)
     target = min_partitions
+    n_in = None
     if target is None:
         try:
             target = src.sparkSession.sparkContext.defaultParallelism * 2
         except Exception:  # noqa: BLE001 — e.g. connect-only session
             target = None
-    if target and src.rdd.getNumPartitions() < target:
+    if target is not None:
+        try:
+            # .rdd is unavailable on Spark Connect — same guard as above
+            n_in = src.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001
+            n_in = None
+    if target and n_in is not None and n_in < target:
         src = src.repartition(target)
     return src.mapInPandas(
         lambda it: _parse_batches(it, abort_on_error), schema=TRIPLES_SCHEMA

@@ -69,3 +69,45 @@ def test_rerun_same_run_id_idempotent(spark, tmp_path):
     again = cp.run(_src(spark, [("f1.nt", "c1", NT1)]), run_id="rX")
     assert again.new_files == 0
     assert cp.all_triples().count() == 1
+
+
+def test_crash_between_write_and_commit_no_duplicates(spark, tmp_path):
+    """Crash AFTER the triples write but BEFORE the processed/lineage
+    commit: the retry derives the same run_id from the same todo set and
+    overwrites the orphaned run directory — all_triples() never
+    double-counts (ADVICE r1: timestamp run_ids duplicated here)."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "ckpt3")
+    cp = ImportCheckpoint(spark, root)
+    src = _src(spark, [("f1.nt", "c1", NT1), ("f2.nt", "c1", NT2)])
+    r1 = cp.run(src)  # auto (derived) run_id
+    assert r1.new_files == 2 and cp.all_triples().count() == 3
+    # simulate the crash: roll back the commit, keep the triples dir
+    shutil.rmtree(cp.processed_path)
+    shutil.rmtree(cp.lineage_path)
+    assert os.path.isdir(os.path.join(cp.triples_root, f"run_id={r1.run_id}"))
+    r2 = cp.run(src)  # retry: same todo → same derived run_id → overwrite
+    assert r2.run_id == r1.run_id
+    assert cp.all_triples().count() == 3  # no duplicates
+    assert cp.lineage().toPandas().n_triples.sum() == 3
+
+
+def test_orphan_run_dir_pruned(spark, tmp_path):
+    """A crashed run whose todo set then CHANGED leaves an orphan run
+    directory under a different run_id; the next run prunes it so
+    all_triples() reflects only committed runs."""
+    cp = ImportCheckpoint(spark, str(tmp_path / "ckpt4"))
+    cp.run(_src(spark, [("f1.nt", "c1", NT1)]), run_id="good")
+    # fabricate an orphan: triples written under a run_id that never got a
+    # processed_files commit
+    import os
+
+    orphan = os.path.join(cp.triples_root, "run_id=orphan")
+    cp.all_triples().filter(F.col("parse_error").isNull()).drop("run_id").write.parquet(orphan)
+    assert cp.all_triples().count() == 2  # orphan visible pre-prune
+    r = cp.run(_src(spark, [("f2.nt", "c1", NT2)]), run_id="good2")
+    assert r.new_files == 1
+    assert sorted(set(cp.all_triples().toPandas().run_id)) == ["good", "good2"]
+    assert cp.all_triples().count() == 3

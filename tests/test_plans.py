@@ -61,6 +61,28 @@ def test_partition_pruning_on_edges(spark, tmp_path):
     assert filtered.count() == 2
 
 
+def test_jaccard_candidate_semi_join_precedes_pair_join(spark, sf_dir):
+    """VERDICT r1: with a candidate set, the shingle postings must be
+    semi-joined down to candidate doc ids BEFORE the posting self-join —
+    otherwise a hot shingle makes the pair expansion quadratic over the
+    full corpus. Locked in via the optimized logical plan: a LeftSemi on
+    doc_id must sit BELOW (after, in tree print order) the Inner join on
+    shingle."""
+    from neosemantics_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # tree prints root-first: the deepest Inner join is the shingle
+    # self-join; the doc-id LeftSemi must appear in its subtree (after it)
+    last_inner = plan.rfind("Join Inner")
+    assert last_inner >= 0, plan[:800]
+    assert "LeftSemi" in plan[last_inner:], plan[last_inner:][:800]
+    # and both the pair-level AND the two doc-level semi-joins exist
+    assert plan.count("LeftSemi") >= 3, plan.count("LeftSemi")
+
+
 def test_parse_filter_prunes_source_columns(spark, sf_dir):
     """Filters on provenance columns stay upstream of the Python stage
     where possible; the source scan never reads more than the 5 columns."""
