@@ -377,7 +377,9 @@ def q_sco_closure(spark: SparkSession, sf: str) -> DataFrame:
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     # low threshold so the sf-corpus (random-ish vectors) yields rows
-    return similarity.embedding_near_dups(emb, threshold=0.5, nbits=4).select("a", "b", "score")
+    return similarity.embedding_near_dups(
+        emb, threshold=0.5, nbits=4, bands=2
+    ).select("a", "b", "score")
 
 
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -463,6 +465,22 @@ _LANG_LISTS = {
     "fr": "'le','la','de','et','les','des','en','un','du','une'",
     "de": "'der','die','und','das','von','den','mit','ist','des','ein'",
 }
+
+
+def _lsh_bucket_sql(vec_expr: str, nbits: int, band: int = 0) -> str:
+    """DuckDB replica of similarity.sign_lsh_bucket: bit p = sign of the
+    md5-seeded ±1 Rademacher projection of the full vector (plane id =
+    band*nbits + p, weight_j from md5('<plane>:<j>'))."""
+    bits = []
+    for p in range(nbits):
+        plane = band * nbits + p
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, len({vec_expr})), j -> "
+            f"CAST({vec_expr}[j] AS DOUBLE) * (CASE WHEN instr('0123456789abcdef', "
+            f"substr(md5('{plane}:' || CAST(j - 1 AS VARCHAR)), 1, 1)) >= 9 "
+            f"THEN 1.0 ELSE -1.0 END))) > 0 THEN '1' ELSE '0' END)"
+        )
+    return "(" + " || ".join(bits) + ")"
 
 
 def _simhash_sql() -> str:
@@ -647,11 +665,11 @@ WITH e AS (
 )
 SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
 """
-    out["ann_lsh_buckets"] = """
-SELECT vec_id,
-       array_to_string(list_transform(embedding[1:8],
-                       x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
-FROM embeddings
+    out["ann_lsh_buckets"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+)
+SELECT vec_id, {_lsh_bucket_sql('v', 8, band=0)} AS bucket FROM e
 """
     out["lang_id"] = _lang_id_sql()
     out["text_quality"] = _quality_sql()
@@ -729,18 +747,20 @@ UNION ALL SELECT path, root, 'http://example.org/json#src', bn, false FROM b
 UNION ALL SELECT path, bn, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/json#Src', false FROM b
 UNION ALL SELECT path, bn, 'http://example.org/json#name', source, true FROM b
 """
-    out["embedding_near_dups"] = """
+    out["embedding_near_dups"] = f"""
 WITH e AS (
-  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         array_to_string(list_transform(embedding[1:4],
-                         x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), b AS (
+  SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
+  UNION ALL
+  SELECT id, v, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
 ), s AS (
-  SELECT l.id AS a, r.id AS b,
+  SELECT DISTINCT l.id AS a, r.id AS b,
          floor(list_dot_product(l.v, r.v)
                / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
                * 10000 + 0.5) / 10000 AS score
-  FROM e l JOIN e r ON l.bucket = r.bucket AND l.id < r.id
+  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
 """

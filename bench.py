@@ -94,6 +94,26 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
     ):
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
+    # ---- ANN bucket-space evidence (VERDICT r1 item 2): nbits derived
+    # from the corpus size, max bucket size measured — shows the
+    # within-bucket pair expansion stays bounded as sf grows
+    from neosemantics_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ann_nbits = sim.suggest_nbits(emb.count())
+    timed(
+        "embedding_near_dups",
+        lambda: sim.embedding_near_dups(
+            emb, threshold=0.5, nbits=ann_nbits, bands=2
+        ).count(),
+    )
+    brow = (
+        sim.oversized_buckets(emb, nbits=ann_nbits, bands=2, max_bucket=0)
+        .agg(F.max("n").alias("mx"), F.count("*").alias("nb"))
+        .first()
+    )
+    ann_max_bucket, ann_buckets = int(brow["mx"] or 0), int(brow["nb"] or 0)
+
     total = round(sum(timings.values()), 3)
     kg_secs = sum(v for k, v in timings.items() if k.startswith("kg_"))
     print(
@@ -107,6 +127,10 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
                 "kg_triples": n_triples,
                 "throughput_tps": round(n_triples / kg_secs, 1) if kg_secs else None,
                 "cpus": CPUS,
+                "ann_nbits": ann_nbits,
+                "ann_bands": 2,
+                "ann_max_bucket_size": ann_max_bucket,
+                "ann_populated_buckets": ann_buckets,
             }
         )
     )
