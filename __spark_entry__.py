@@ -36,7 +36,12 @@ from neosemantics_spark.operators.export import (
     to_ntriples_lines,
 )
 from neosemantics_spark.operators.materialize import materialize, transform_triples
-from neosemantics_spark.operators.multimodal import media_stats, synthetic_media
+from neosemantics_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    synthetic_media,
+    synthetic_media_real,
+)
 from neosemantics_spark.operators.prefixes import build_prefix_map, collect_namespaces
 from neosemantics_spark.sources.datagen import src_files_from_documents
 from neosemantics_spark.sources.parse import extract_triples
@@ -388,6 +393,26 @@ def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode path: actual PNG/WAV/NSV payloads built then decoded by
+    the pure-stdlib codecs; the oracle reproduces every feature from the
+    deterministic generation formulas."""
+    feats = extract_features(synthetic_media_real(spark, 256))
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        round4(F.col("mean_r")).alias("mean_r"),
+        round4(F.col("mean_g")).alias("mean_g"),
+        round4(F.col("mean_b")).alias("mean_b"),
+        round4(F.col("duration_ms")).alias("duration_ms"),
+        "n_samples",
+        round4(F.col("rms")).alias("rms"),
+        "n_frames",
+    )
+
+
 # ================================================================ driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline (parse → transform →
@@ -424,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inference_nodes": q_inference_nodes,
         "skos_route": q_skos_route,
         "multimodal_stats": q_multimodal_stats,
+        "multimodal_features": q_multimodal_features,
         "kg_json_tree": q_kg_json_tree,
         "embedding_near_dups": q_embedding_near_dups,
         "sco_closure": q_sco_closure,
@@ -732,6 +758,41 @@ WITH m AS (
 SELECT kind, count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS total_bytes,
        floor(avg(width) * 10000 + 0.5) / 10000 AS avg_width, floor(avg(dur) * 10000 + 0.5) / 10000 AS avg_duration_ms
 FROM t GROUP BY kind
+"""
+    # features of the REAL decoded payloads, reproduced analytically from
+    # the deterministic generation formulas in operators/multimodal.py
+    mean_sql = (
+        "floor(list_avg(flatten(list_transform(generate_series(0, h - 1), y -> "
+        "list_transform(generate_series(0, w - 1), x -> "
+        "CAST((id * 7 + x * 3 + y * 5 + {c} * 11) % 256 AS DOUBLE))))) * 10000 + 0.5) / 10000"
+    )
+    out["multimodal_features"] = f"""
+WITH m AS (
+  SELECT unnest(generate_series(0, 255)) AS id
+), base AS (
+  SELECT id,
+         CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         4 + id % 5 AS w, 3 + id % 4 AS h,
+         160 + id % 80 AS ns, 2 + id % 3 AS nf
+  FROM m
+)
+SELECT id AS media_id, kind,
+  CASE WHEN kind <> 'audio' THEN w END AS width,
+  CASE WHEN kind <> 'audio' THEN h END AS height,
+  CASE WHEN kind <> 'audio' THEN {mean_sql.format(c=0)} END AS mean_r,
+  CASE WHEN kind <> 'audio' THEN {mean_sql.format(c=1)} END AS mean_g,
+  CASE WHEN kind <> 'audio' THEN {mean_sql.format(c=2)} END AS mean_b,
+  CASE WHEN kind = 'audio' THEN floor(CAST(ns AS DOUBLE) * 1000 / 8000 * 10000 + 0.5) / 10000
+       WHEN kind = 'video' THEN floor(CAST(nf AS DOUBLE) * 1000 / 10 * 10000 + 0.5) / 10000
+  END AS duration_ms,
+  CASE WHEN kind = 'audio' THEN ns END AS n_samples,
+  CASE WHEN kind = 'audio' THEN
+    floor(sqrt(list_avg(list_transform(generate_series(0, ns - 1), t ->
+      CAST(((id * 31 + t * 17) % 2048 - 1024) * ((id * 31 + t * 17) % 2048 - 1024) AS DOUBLE))))
+      * 10000 + 0.5) / 10000
+  END AS rms,
+  CASE WHEN kind = 'video' THEN nf END AS n_frames
+FROM base
 """
     out["kg_json_tree"] = """
 WITH b AS (
