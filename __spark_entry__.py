@@ -34,6 +34,7 @@ from neosemantics_spark.operators.export import (
     graph_to_triples,
     relational_to_triples,
     to_ntriples_lines,
+    to_turtle_blocks,
 )
 from neosemantics_spark.operators.materialize import materialize, transform_triples
 from neosemantics_spark.operators.multimodal import (
@@ -198,6 +199,26 @@ def q_kg_export_nt(spark: SparkSession, sf: str) -> DataFrame:
     tables, cfg = _kg_tables(spark, sf)
     trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull())
     return to_ntriples_lines(trip).select("line")
+
+
+def q_kg_export_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """Turtle writer round trip: corpus triples → Turtle blocks
+    (partition-parallel serializer) → reparsed by the Turtle parser →
+    must equal the directly-parsed triples (A6 ttl family,
+    CollectTriples.java:19-71)."""
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    trip = extract_triples(src)
+    blocks = to_turtle_blocks(trip)
+    src2 = blocks.select(
+        F.lit("x").alias("repo"),
+        F.lit("block.ttl").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("Turtle").alias("lang"),
+        F.col("line").alias("content"),
+    )
+    return extract_triples(src2).select(
+        "subject", "predicate", "object", "is_literal", "datatype"
+    )
 
 
 def q_orders_rdf(spark: SparkSession, sf: str) -> DataFrame:
@@ -431,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_typed_literals": q_kg_typed_literals,
         "kg_shacl": q_kg_shacl,
         "kg_export_nt": q_kg_export_nt,
+        "kg_export_ttl": q_kg_export_ttl,
         "orders_rdf": q_orders_rdf,
         "dedup_exact_kept": q_dedup_exact_kept,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -607,6 +629,9 @@ FROM feat
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out["kg_triples_nt"] = _doc_triples_nt_sql("SELECT * FROM t")
+    out["kg_export_ttl"] = _doc_triples_nt_sql(
+        "SELECT subject, predicate, object, is_literal, datatype FROM t"
+    )
     out["kg_triples_turtle"] = f"""
 SELECT '{DOC}' || doc_id AS subject, '{RDFT}' AS predicate, '{VOC}Document' AS object,
        false AS is_literal, CAST(NULL AS VARCHAR) AS lang FROM documents

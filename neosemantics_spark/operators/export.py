@@ -237,6 +237,262 @@ def write_ntriples(triples: DataFrame, path: str, single_file: bool = False) -> 
     lines.write.mode("overwrite").text(path)
 
 
+# ----------------------------------------------------- Turtle / Turtle-star
+_PN_LOCAL_SAFE = "^[A-Za-z_][A-Za-z0-9_-]*$"
+
+
+def _term_ttl(value: Column, prefix_to_ns: Optional[Dict[str, str]] = None) -> Column:
+    """Render an IRI-or-bnode as Turtle: `p:local` when a prefix matches
+    and the local name is PN_LOCAL-safe, `<iri>` otherwise, `_:bXX` for
+    skolemized bnodes. Pure when-chain — JVM-side, codegen-friendly."""
+    expr = F.concat(F.lit("<"), value, F.lit(">"))
+    if prefix_to_ns:
+        # longest namespace wins (match the SHORTEN transform's ordering)
+        for prefix, ns in sorted(prefix_to_ns.items(), key=lambda kv: (-len(kv[1]), kv[0])):
+            local = value.substr(F.lit(len(ns) + 1), F.length(value))
+            expr = F.when(
+                value.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+                F.concat(F.lit(prefix + ":"), local),
+            ).otherwise(expr)
+    return F.when(
+        value.startswith("bnode://"),
+        F.concat(F.lit("_:b"), F.substring(value, len("bnode://") + 1, 64)),
+    ).otherwise(expr)
+
+
+def _object_ttl(prefix_to_ns: Optional[Dict[str, str]] = None) -> Column:
+    lit = F.concat(F.lit('"'), _escape_literal(F.col("object")), F.lit('"'))
+    dt = _term_ttl(F.col("datatype"), prefix_to_ns)
+    lit = F.when(F.col("lang").isNotNull(), F.concat(lit, F.lit("@"), F.col("lang"))).otherwise(
+        F.when(
+            F.col("datatype").isNotNull()
+            & (F.col("datatype") != XSD_STRING)
+            & (F.col("datatype") != RDF_LANGSTRING),
+            F.concat(lit, F.lit("^^"), dt),
+        ).otherwise(lit)
+    )
+    return F.when(F.col("is_literal"), lit).otherwise(_term_ttl(F.col("object"), prefix_to_ns))
+
+
+def to_turtle_blocks(
+    triples: DataFrame, prefix_to_ns: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Triples DF → one-column `line` DF, one Turtle block per subject:
+
+        <s> <p1> o1 ;
+            <p2> o2 .
+
+    RDF-star rows (sspo set) render their quoted-triple subject as
+    `<< s p o >>` — the Turtle-star family of CollectTriples.java:19-71.
+    Plan: rename-project → groupBy(subject key) with collect_list (partial
+    aggregation map-side) → array_sort for a deterministic block — one
+    shuffle keyed by subject, serialization itself stays partition-parallel
+    (the reference serializes on the driver; we don't)."""
+    df = triples
+    if "sspo" not in df.columns:
+        df = df.withColumn("sspo", F.lit(None).cast("array<string>"))
+    if "graph" not in df.columns:
+        df = df.withColumn("graph", F.lit(None).cast("string"))
+    subj = _term_ttl(F.col("subject"), prefix_to_ns)
+    # Turtle-star quoted-triple subject
+    star = F.concat(
+        F.lit("<< "),
+        _term_ttl(F.col("sspo")[0], prefix_to_ns),
+        F.lit(" "),
+        F.concat(F.lit("<"), F.col("sspo")[1], F.lit(">")),
+        F.lit(" "),
+        _term_ttl(F.col("sspo")[2], prefix_to_ns),
+        F.lit(" >>"),
+    )
+    subj_key = F.when(F.col("sspo").isNotNull(), star).otherwise(subj)
+    pred = _term_ttl(F.col("predicate"), prefix_to_ns)
+    df = df.withColumn("_subj", subj_key).withColumn(
+        "_po", F.concat(pred, F.lit(" "), _object_ttl(prefix_to_ns))
+    )
+    blocks = (
+        df.groupBy("_subj")
+        .agg(F.array_join(F.array_sort(F.collect_list("_po")), " ;\n    ").alias("_pos"))
+        .select(F.concat(F.col("_subj"), F.lit(" "), F.col("_pos"), F.lit(" .")).alias("line"))
+    )
+    return blocks
+
+
+def turtle_header(prefix_to_ns: Optional[Dict[str, str]]) -> list[str]:
+    if not prefix_to_ns:
+        return []
+    return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefix_to_ns.items())]
+
+
+def _with_partition_header(lines: DataFrame, header: list[str]) -> DataFrame:
+    """Prepend `header` to EVERY output partition (Turtle allows @prefix
+    redeclaration, so each part file is standalone-valid AND plain
+    concatenation of part files is valid — no driver-side assembly)."""
+    if not header:
+        return lines
+    import pandas as pd
+
+    def run(batches):
+        emitted = False
+        for pdf in batches:
+            if not emitted:
+                yield pd.DataFrame({"line": header})
+                emitted = True
+            yield pdf
+        if not emitted:  # empty partition still yields a valid file
+            yield pd.DataFrame({"line": header})
+
+    return lines.mapInPandas(run, "line string")
+
+
+def to_turtle_lines(
+    triples: DataFrame, prefix_to_ns: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Turtle serialization with per-partition prefix header."""
+    return _with_partition_header(
+        to_turtle_blocks(triples, prefix_to_ns), turtle_header(prefix_to_ns)
+    )
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefix_to_ns: Optional[Dict[str, str]] = None,
+    single_file: bool = False,
+) -> None:
+    blocks = to_turtle_blocks(triples, prefix_to_ns)
+    if single_file:
+        blocks = blocks.coalesce(1)
+    _with_partition_header(blocks, turtle_header(prefix_to_ns)).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+# ------------------------------------------------- JSON-LD / RDF-XML sinks
+def _group_by_subject(triples: DataFrame) -> DataFrame:
+    df = triples
+    if "sspo" in df.columns:  # quoted-triple subjects have no JSON-LD/XML form
+        df = df.filter(F.col("sspo").isNull())
+    return df.groupBy("subject").agg(
+        F.collect_list(
+            F.struct("predicate", "object", "is_literal", "datatype", "lang")
+        ).alias("po")
+    )
+
+
+def to_jsonld_lines(triples: DataFrame) -> DataFrame:
+    """One JSON-LD node object per line (NDJSON flavor — each line is a
+    valid JSON-LD document, the whole file is one `@graph` when wrapped).
+    Serialization is Arrow-batched Python (json.dumps gives exact JSON
+    escaping), partition-parallel after one subject-keyed shuffle —
+    the ld family of CollectTriples.java:19-71."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..rdf.terms import RDF_TYPE as _RDF_TYPE
+
+    def run(batches):
+        for pdf in batches:
+            lines = []
+            for subj, po in zip(pdf["subject"], pdf["po"]):
+                node: dict = {
+                    "@id": ("_:b" + subj[len("bnode://") :]) if subj.startswith("bnode://") else subj
+                }
+                for row in sorted(po, key=lambda r: (r["predicate"], str(r["object"]))):
+                    pred, obj = row["predicate"], row["object"]
+                    if not row["is_literal"] and pred == _RDF_TYPE:
+                        node.setdefault("@type", []).append(obj)
+                        continue
+                    if row["is_literal"]:
+                        v: dict = {"@value": obj}
+                        if row["lang"]:
+                            v["@language"] = row["lang"]
+                        elif row["datatype"] and row["datatype"] != XSD_STRING:
+                            v["@type"] = row["datatype"]
+                    else:
+                        v = {
+                            "@id": ("_:b" + obj[len("bnode://") :])
+                            if obj.startswith("bnode://")
+                            else obj
+                        }
+                    node.setdefault(pred, []).append(v)
+                lines.append(_json.dumps(node, sort_keys=True))
+            yield pd.DataFrame({"line": lines})
+
+    return _group_by_subject(triples).mapInPandas(run, "line string")
+
+
+def to_rdfxml_lines(triples: DataFrame) -> DataFrame:
+    """RDF/XML serialization: one <rdf:Description> block per subject,
+    each output partition a complete <rdf:RDF> document (the natural unit
+    for a many-files lake sink) — the xml family of
+    CollectTriples.java:19-71."""
+    import re as _re
+    from xml.sax.saxutils import escape, quoteattr
+
+    import pandas as pd
+
+    _SPLIT = _re.compile(r"^(.*[#/])([^#/]*)$")
+
+    def run(batches):
+        header_done = False
+        for pdf in batches:
+            lines = []
+            if not header_done:
+                lines.append('<?xml version="1.0" encoding="UTF-8"?>')
+                lines.append(
+                    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+                )
+                header_done = True
+            for subj, po in zip(pdf["subject"], pdf["po"]):
+                if subj.startswith("bnode://"):
+                    about = f"rdf:nodeID={quoteattr('b' + subj[len('bnode://'):])}"
+                else:
+                    about = f"rdf:about={quoteattr(subj)}"
+                block = [f"<rdf:Description {about}>"]
+                nss: dict = {}
+                for row in sorted(po, key=lambda r: (r["predicate"], str(r["object"]))):
+                    m = _SPLIT.match(row["predicate"])
+                    if not m:
+                        continue
+                    ns, local = m.groups()
+                    pfx = nss.setdefault(ns, f"n{len(nss)}")
+                    decl = f" xmlns:{pfx}={quoteattr(ns)}"
+                    if row["is_literal"]:
+                        attrs = ""
+                        if row["lang"]:
+                            attrs = f" xml:lang={quoteattr(row['lang'])}"
+                        elif row["datatype"] and row["datatype"] != XSD_STRING:
+                            attrs = f" rdf:datatype={quoteattr(row['datatype'])}"
+                        block.append(
+                            f"  <{pfx}:{local}{decl}{attrs}>{escape(row['object'])}</{pfx}:{local}>"
+                        )
+                    else:
+                        obj = row["object"]
+                        ref = (
+                            f"rdf:nodeID={quoteattr('b' + obj[len('bnode://'):])}"
+                            if obj.startswith("bnode://")
+                            else f"rdf:resource={quoteattr(obj)}"
+                        )
+                        block.append(f"  <{pfx}:{local}{decl} {ref}/>")
+                block.append("</rdf:Description>")
+                lines.extend(block)
+            yield pd.DataFrame({"line": lines})
+        if header_done:
+            yield pd.DataFrame({"line": ["</rdf:RDF>"]})
+        else:  # empty partition: still a valid (empty) document
+            yield pd.DataFrame(
+                {
+                    "line": [
+                        '<?xml version="1.0" encoding="UTF-8"?>',
+                        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"/>',
+                    ]
+                }
+            )
+
+    return _group_by_subject(triples).mapInPandas(run, "line string")
+
+
 # ------------------------------------------------------------------ E6/E7
 def implicit_ontology(tables: GraphTables) -> DataFrame:
     """E6 implicit-ontology export: distinct (label) → owl:Class, distinct

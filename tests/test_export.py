@@ -89,6 +89,104 @@ def test_ntriples_serialization_reparse(spark, raw):
     assert any('"thing one"@en' in l for l in lines)
 
 
+def test_turtle_serialization_reparse(spark, raw):
+    """Turtle blocks (full-IRI form) re-parse to the same triple set (A6
+    ttl family, CollectTriples.java:19-71)."""
+    from neosemantics_spark.operators.export import to_turtle_blocks
+    from neosemantics_spark.rdf.turtle import parse_turtle
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP, handle_multival=ARRAY, keep_lang_tag=True)
+    t = transform_triples(raw, cfg)
+    tables = materialize(t, cfg)
+    trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull() & F.col("graph").isNull())
+    blocks = [r["line"] for r in to_turtle_blocks(trip).collect()]
+    reparsed = [st for b in blocks for st in parse_turtle(b)]
+    assert len(reparsed) == trip.count() > 20
+    # multi-predicate subjects collapse into one `;`-joined block
+    assert any(";" in b for b in blocks)
+    # spot-check a lang-tagged literal survives
+    assert any('"thing one"@en' in b for b in blocks)
+
+
+def test_turtle_prefix_header_and_shortening(spark, raw):
+    """With a prefix map: `p:local` rendering + per-partition @prefix
+    header; reparse through the Turtle parser restores full IRIs."""
+    from neosemantics_spark.operators.export import to_turtle_lines
+    from neosemantics_spark.rdf.turtle import parse_turtle
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    t = transform_triples(raw, cfg)
+    tables = materialize(t, cfg)
+    trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull() & F.col("graph").isNull())
+    pmap = {"ex": "http://example.org/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    lines = [r["line"] for r in to_turtle_lines(trip.coalesce(1), pmap).collect()]
+    assert lines[0].startswith("@prefix ex:")
+    body = "\n".join(lines)
+    assert "ex:" in body  # shortening actually applied
+    reparsed = parse_turtle(body)
+    subs = {str(s.s.value) for s in reparsed}
+    assert any(u.startswith("http://example.org/") for u in subs)
+    assert len(reparsed) == trip.count()
+
+
+def test_turtle_star_block(spark, raw):
+    """RDF-star rel-property rows render `<< s p o >>` subjects that the
+    Turtle-star parser round-trips."""
+    from neosemantics_spark.operators.export import to_turtle_blocks
+    from neosemantics_spark.rdf.turtle import parse_turtle
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    t = transform_triples(raw, cfg)
+    tables = materialize(t, cfg)
+    star = graph_to_triples(tables, cfg).filter(F.col("sspo").isNotNull())
+    if star.count() == 0:
+        pytest.skip("fixture has no rel-prop rows")
+    blocks = [r["line"] for r in to_turtle_blocks(star).collect()]
+    assert all(b.startswith("<< ") for b in blocks)
+    reparsed = [st for b in blocks for st in parse_turtle(b)]
+    from neosemantics_spark.rdf.terms import QuotedTriple
+
+    assert reparsed and all(isinstance(st.s, QuotedTriple) for st in reparsed)
+
+
+def test_jsonld_serialization_reparse(spark, raw):
+    """JSON-LD node-object lines re-parse (via our own JSON-LD parser) to
+    the same triple multiset."""
+    from neosemantics_spark.operators.export import to_jsonld_lines
+    from neosemantics_spark.rdf.jsonld import parse_jsonld
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP, keep_lang_tag=True)
+    t = transform_triples(raw, cfg)
+    tables = materialize(t, cfg)
+    trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull() & F.col("graph").isNull())
+    lines = [r["line"] for r in to_jsonld_lines(trip).collect()]
+    reparsed = [st for l in lines for st in parse_jsonld(l)]
+    assert len(reparsed) == trip.count() > 20
+    got = {(str(st.p.value), st.o.lexical if hasattr(st.o, "lexical") else str(st.o.value)) for st in reparsed}
+    # reparsed bnodes carry the label form (bXX) of the writer's _:bXX
+    exp = {
+        (r["predicate"], r["object"].replace("bnode://", "b", 1))
+        for r in trip.collect()
+    }
+    assert got == exp
+
+
+def test_rdfxml_serialization_reparse(spark, raw):
+    """Each RDF/XML output partition is a complete document that our
+    RDF/XML parser re-parses to the same triples."""
+    from neosemantics_spark.operators.export import to_rdfxml_lines
+    from neosemantics_spark.rdf.rdfxml import parse_rdfxml
+
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    t = transform_triples(raw, cfg)
+    tables = materialize(t, cfg)
+    trip = graph_to_triples(tables, cfg).filter(F.col("sspo").isNull() & F.col("graph").isNull())
+    doc = "\n".join(r["line"] for r in to_rdfxml_lines(trip.coalesce(1)).collect())
+    assert doc.startswith("<?xml") and doc.rstrip().endswith("</rdf:RDF>")
+    reparsed = parse_rdfxml(doc)
+    assert len(reparsed) == trip.count() > 20
+
+
 def test_spo_filter(spark, raw):
     cfg = GraphConfig(handle_vocab_uris=KEEP)
     tables = materialize(transform_triples(raw, cfg), cfg)
