@@ -122,15 +122,58 @@ def parse_document(fmt: str, content: str, base: Optional[str] = None) -> List[S
         return parse_rdfxml(content, base)
 
 
-def _decompress(path: str, content: str) -> str:
+_TAR_GZ = (".tar.gz", ".tgz")
+_TAR_BZ2 = (".tar.bz2", ".tbz2")
+
+
+def _is_packed(path: str) -> bool:
+    base = path.split("!", 1)[0]
+    return base.endswith((".gz", ".bz2", ".zip", ".tgz", ".tbz2"))
+
+
+def _expand_payload(path: str, content: str) -> List[tuple]:
+    """Compressed/archive payload → [(logical_path, text), ...].
+
+    Mirrors the reference's archive-entry URL forms
+    (CommonProcedures.java:139-183; tested RDFProceduresTest.java:529-641):
+      `a.zip!entry.ttl`, `a.tgz!entry.ttl` select ONE entry; a bare
+      `a.zip` / `a.tar.gz` / `a.tar.bz2` expands EVERY regular entry
+      (each becomes its own document with path `archive!entry`, so bnode
+      skolemization and stmt_idx stay entry-scoped); bare `.gz` / `.bz2`
+      are single-document streams. `content` is base64(bytes)."""
     import base64
     import bz2
     import gzip
+    import io
+    import tarfile
+    import zipfile
 
+    base, _, entry = path.partition("!")
     raw = base64.b64decode(content)
-    if path.endswith(".gz"):
-        return gzip.decompress(raw).decode("utf-8")
-    return bz2.decompress(raw).decode("utf-8")
+    if base.endswith(_TAR_GZ) or base.endswith(_TAR_BZ2):
+        mode = "r:gz" if base.endswith(_TAR_GZ) else "r:bz2"
+        with tarfile.open(fileobj=io.BytesIO(raw), mode=mode) as tf:
+            if entry:
+                f = tf.extractfile(tf.getmember(entry))
+                if f is None:
+                    raise ValueError(f"not a file entry: {entry}")
+                return [(f"{base}!{entry}", f.read().decode("utf-8"))]
+            return [
+                (f"{base}!{m.name}", tf.extractfile(m).read().decode("utf-8"))
+                for m in sorted(tf.getmembers(), key=lambda m: m.name)
+                if m.isreg()
+            ]
+    if base.endswith(".zip"):
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            names = (
+                [entry]
+                if entry
+                else sorted(n for n in zf.namelist() if not n.endswith("/"))
+            )
+            return [(f"{base}!{n}", zf.read(n).decode("utf-8")) for n in names]
+    if base.endswith(".gz"):
+        return [(base[: -len(".gz")], gzip.decompress(raw).decode("utf-8"))]
+    return [(base[: -len(".bz2")], bz2.decompress(raw).decode("utf-8"))]
 
 
 def _skolem(repo: str, path: str, commit: str, label: str) -> str:
@@ -205,13 +248,13 @@ def _parse_batches(
                 yield pd.DataFrame(rows, columns=cols)
                 rows = []
             path = path or ""
-            # S2 compressed-payload passthrough (CommonProcedures.java:139-183):
-            # *.gz / *.bz2 paths carry base64(compressed bytes) in `content`
-            if path.endswith((".gz", ".bz2")):
+            # S2 compressed/archive payloads (CommonProcedures.java:139-183):
+            # *.gz/*.bz2/*.zip/*.tgz/*.tar.{gz,bz2} paths (optionally with a
+            # `!entry` selector) carry base64(bytes) in `content`
+            if _is_packed(path):
                 try:
-                    content = _decompress(path, content or "")
-                    path = path.rsplit(".", 1)[0]
-                except Exception as e:  # noqa: BLE001
+                    docs = _expand_payload(path, content or "")
+                except Exception as e:  # noqa: BLE001 — corrupt archive
                     if abort_on_error:
                         raise
                     rows.append(
@@ -223,30 +266,26 @@ def _parse_batches(
                         }
                     )
                     continue
-            fmt = sniff_format(lang, path, content or "")
-            try:
-                stmts = parse_document(fmt, content or "")
-                rows.extend(statements_to_rows(stmts, repo, path, commit))
-            except Exception as e:  # noqa: BLE001 — quarantine path
-                if abort_on_error:
-                    raise
-                rows.append(
-                    {
-                        "subject": None,
-                        "predicate": None,
-                        "object": None,
-                        "is_literal": None,
-                        "datatype": None,
-                        "lang": None,
-                        "graph": None,
-                        "sspo": None,
-                        "repo": repo,
-                        "path": path,
-                        "commit": commit,
-                        "stmt_idx": -1,
-                        "parse_error": f"{type(e).__name__}: {e}"[:500],
-                    }
-                )
+            else:
+                docs = [(path, content or "")]
+            for dpath, dcontent in docs:
+                fmt = sniff_format(lang, dpath, dcontent)
+                try:
+                    stmts = parse_document(fmt, dcontent)
+                    rows.extend(statements_to_rows(stmts, repo, dpath, commit))
+                except Exception as e:  # noqa: BLE001 — quarantine path
+                    if abort_on_error:
+                        raise
+                    rows.append(
+                        {
+                            **{c: None for c in cols},
+                            "repo": repo,
+                            "path": dpath,
+                            "commit": commit,
+                            "stmt_idx": -1,
+                            "parse_error": f"{type(e).__name__}: {e}"[:500],
+                        }
+                    )
         yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
             {c: pd.Series(dtype=object) for c in cols}
         )

@@ -84,6 +84,81 @@ def test_compressed_payload(spark):
     assert len(out[out.parse_error.notna()]) == 1
 
 
+def _archive_src(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"repo": "r", "path": p, "commit": "c" * 40, "lang": None, "content": c}
+                for p, c in rows
+            ]
+        )
+    )
+
+
+def test_archive_entry_sources(spark):
+    """zip!entry / tgz!entry / bare .tar.gz / .tar.bz2 payloads
+    (CommonProcedures.java:139-183; RDFProceduresTest.java:529-641)."""
+    import bz2
+    import io
+    import tarfile
+    import zipfile
+
+    nt1 = '<http://e/a> <http://e/p> "one" .\n'
+    nt2 = '<http://e/b> <http://e/p> "two" .\n'
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("inner/one.nt", nt1)
+        zf.writestr("inner/two.nt", nt2)
+    zip_b64 = base64.b64encode(zbuf.getvalue()).decode()
+
+    def tar_bytes(compress):
+        tbuf = io.BytesIO()
+        with tarfile.open(fileobj=tbuf, mode=f"w:{compress}") as tf:
+            for name, data in (("one.nt", nt1), ("two.nt", nt2)):
+                info = tarfile.TarInfo(name)
+                info.size = len(data.encode())
+                tf.addfile(info, io.BytesIO(data.encode()))
+        return base64.b64encode(tbuf.getvalue()).decode()
+
+    src = _archive_src(
+        spark,
+        [
+            ("a.zip!inner/one.nt", zip_b64),          # single zip entry
+            ("all.zip", zip_b64),                      # every zip entry
+            ("a.tgz!one.nt", tar_bytes("gz")),         # single tgz entry
+            ("all.tar.gz", tar_bytes("gz")),           # every tar.gz entry
+            ("all.tar.bz2", tar_bytes("bz2")),         # every tar.bz2 entry
+            ("plain.nt.bz2", base64.b64encode(bz2.compress(nt1.encode())).decode()),
+        ],
+    )
+    out = extract_triples(src).toPandas()
+    assert out.parse_error.isna().all(), out.parse_error.dropna().tolist()
+    by_archive = out.path.map(lambda p: p.split("!")[0])
+    got = out.groupby(by_archive).size().to_dict()
+    assert got["a.zip"] == 1 and got["all.zip"] == 2
+    assert got["a.tgz"] == 1 and got["all.tar.gz"] == 2 and got["all.tar.bz2"] == 2
+    assert got["plain.nt"] == 1
+    # entry-scoped logical paths
+    assert set(out[out.path.str.startswith("all.zip")].path) == {
+        "all.zip!inner/one.nt", "all.zip!inner/two.nt"
+    }
+
+
+def test_archive_corrupt_and_missing_entry_quarantined(spark):
+    src = _archive_src(
+        spark,
+        [
+            ("bad.zip", base64.b64encode(b"PK\x03\x04 truncated").decode()),
+            ("a.zip!missing.nt", base64.b64encode(b"PK\x05\x06" + b"\x00" * 18).decode()),
+            ("bad.tgz!x.nt", base64.b64encode(b"not a tarball").decode()),
+        ],
+    )
+    out = extract_triples(src).toPandas()
+    assert len(out) == 3
+    assert out.parse_error.notna().all()
+
+
 def test_shorten_strict_raises(spark):
     raw = extract_triples(fixture_corpus(spark))
     cfg = GraphConfig(handle_vocab_uris=SHORTEN_STRICT)
