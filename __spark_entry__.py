@@ -341,6 +341,31 @@ def q_inference_nodes(spark: SparkSession, sf: str) -> DataFrame:
     return got.select("uri")
 
 
+def q_inference_categories(spark: SparkSession, sf: str) -> DataFrame:
+    """Micro-reasoner completion (MicroReasoners.java:102-127,441-480):
+    customers -[in]-> nation nodes, nations -SCO-> regions; boolean
+    in_category('ASIA') via the custom in-category relationship."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    individuals = cust.select(
+        F.concat(F.lit("http://example.org/cust/"), F.col("c_custkey").cast("string")).alias("uri")
+    )
+    in_edges = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        F.concat(F.lit("http://example.org/cust/"), F.col("c_custkey").cast("string")).alias("src"),
+        F.lit("in").alias("rel"),
+        F.col("n_name").alias("dst"),
+    )
+    sco = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_name").alias("src"), F.lit("SCO").alias("rel"), F.col("r_name").alias("dst")
+    )
+    closure = inference.transitive_closure(sco)
+    flags = inference.in_category_flags(
+        individuals, in_edges, closure, "ASIA", in_cat_rel="in"
+    )
+    return flags.select("uri", "in_category")
+
+
 def q_skos_route(spark: SparkSession, sf: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf}/nation.parquet")
     region = spark.read.parquet(f"{sf}/region.parquet")
@@ -469,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iri_functions": q_iri_functions,
         "literal_functions": q_literal_functions,
         "inference_nodes": q_inference_nodes,
+        "inference_categories": q_inference_categories,
         "skos_route": q_skos_route,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
@@ -767,6 +793,13 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
+"""
+    out["inference_categories"] = """
+SELECT 'http://example.org/cust/' || c_custkey AS uri,
+       (r_name = 'ASIA') AS in_category
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
 """
     out["skos_route"] = """
 SELECT DISTINCT n_name AS src, 'SCO' AS rel, r_name AS dst

@@ -127,6 +127,97 @@ def rels_with_inference(edges: DataFrame, closure_spo: DataFrame, rel: str) -> D
     return edges.join(F.broadcast(sub), "rel", "inner")
 
 
+def nodes_in_category(
+    edges: DataFrame,
+    closure: DataFrame,
+    category: str,
+    in_cat_rel: str = "type",
+) -> DataFrame:
+    """n10s.inference.nodesInCategory analogue (MicroReasoners.java:102-127):
+    individuals with an `in_cat_rel` edge into `category` or ANY of its
+    subcategories — `(root)<-[:SCO*0..]-()<-[:inCatRel]-(individual)`
+    re-expressed as a broadcast semi-join of the (tiny) subcategory set
+    against the edge table. `in_cat_rel` is the custom in-category
+    relationship (the procedure's inCatRel param; default 'type')."""
+    subcats = closure.filter(F.col("ancestor") == category).select(
+        F.col("descendant").alias("dst")
+    )
+    return (
+        edges.filter(F.col("rel") == in_cat_rel)
+        .join(F.broadcast(subcats), "dst", "left_semi")
+        .select(F.col("src").alias("uri"))
+        .dropDuplicates(["uri"])
+    )
+
+
+def in_category_flags(
+    individuals: DataFrame,
+    edges: DataFrame,
+    closure: DataFrame,
+    category: str,
+    in_cat_rel: str = "type",
+    id_col: str = "uri",
+) -> DataFrame:
+    """Boolean n10s.inference.inCategory (MicroReasoners.java:441-480),
+    vectorized: one row per individual with an `in_category` flag instead
+    of a per-node function call (the set-based Spark shape — searchTopDown
+    semantics: membership via the subcategory closure of `category`)."""
+    members = nodes_in_category(edges, closure, category, in_cat_rel).withColumnRenamed(
+        "uri", id_col
+    )
+    return individuals.select(id_col).distinct().join(
+        members.withColumn("_in", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce("_in", F.lit(False)).alias("in_category"))
+
+
+def has_label_flags(nodes: DataFrame, closure: DataFrame, label: str) -> DataFrame:
+    """Boolean n10s.inference.hasLabel (MicroReasoners.java:398-432),
+    vectorized: true when a node carries `label` explicitly OR any label
+    that is a subcategory of it."""
+    sub = closure.filter(F.col("ancestor") == label).select(
+        F.col("descendant").alias("label")
+    )
+    lab = nodes.select("uri", F.explode_outer("labels").alias("label"))
+    hit = (
+        lab.join(F.broadcast(sub), "label", "left_semi")
+        .select("uri")
+        .dropDuplicates(["uri"])
+        .withColumn("_has", F.lit(True))
+    )
+    return nodes.select("uri").distinct().join(hit, "uri", "left").select(
+        "uri", F.coalesce("_has", F.lit(False)).alias("has_label")
+    )
+
+
+def get_rels(
+    edges: DataFrame,
+    closure_spo: DataFrame,
+    rel: str,
+    node_uri: str | None = None,
+    rel_dir: str = "",
+) -> DataFrame:
+    """n10s.inference.getRels with direction (MicroReasoners.java:164-199):
+    edges whose rel is `rel` or any subproperty, optionally restricted to
+    those incident to `node_uri` with relDir '>' (outgoing), '<'
+    (incoming), or '' (both). Returns (src, rel, dst, direction) where
+    direction is relative to `node_uri` (null when no node filter)."""
+    sub = closure_spo.filter(F.col("ancestor") == rel).select(
+        F.col("descendant").alias("rel")
+    )
+    out = edges.join(F.broadcast(sub), "rel", "left_semi")
+    if node_uri is None:
+        return out.withColumn("direction", F.lit(None).cast("string"))
+    if rel_dir == ">":
+        cond = F.col("src") == node_uri
+    elif rel_dir == "<":
+        cond = F.col("dst") == node_uri
+    else:
+        cond = (F.col("src") == node_uri) | (F.col("dst") == node_uri)
+    return out.filter(cond).withColumn(
+        "direction", F.when(F.col("src") == node_uri, ">").otherwise("<")
+    )
+
+
 OWL_RESTRICTION_PREDS = {
     OWL + "onProperty": "onProperty",
     OWL + "someValuesFrom": "someValuesFrom",

@@ -53,9 +53,10 @@ class PropertyConstraint:
     (constraint record per property shape, :969-1165)."""
 
     shape_id: str
-    target_class: str
+    target_class: Optional[str]
     path: str
     inverse: bool = False
+    target_query: Optional[str] = None
     min_count: Optional[int] = None
     max_count: Optional[int] = None
     datatype: Optional[str] = None
@@ -82,8 +83,9 @@ class NodeConstraint:
     """Closed-shape / class-level constraints (SHACLValidator.java:125-180)."""
 
     shape_id: str
-    target_class: str
+    target_class: Optional[str]
     closed: bool = False
+    target_query: Optional[str] = None
     ignored_props: List[str] = field(default_factory=list)
     allowed_props: List[str] = field(default_factory=list)
     not_class: Optional[str] = None
@@ -144,9 +146,15 @@ def compile_shapes(shapes_doc: str) -> CompiledShapes:
         # implicit class target: shape that is itself an rdfs/owl Class
         if tc is None and any(t.endswith("Class") for t in types):
             tc = IRI(subj)
-        if tc is None:
+        # sh:targetQuery extension point (SHACLValidator.java:885-895
+        # validates a Cypher WHERE fragment; the Spark-native analogue is
+        # a SQL predicate over the focus-node columns — SURVEY §7 known-
+        # hard 6 sanctions this re-scoping)
+        tq = one(subj, SH + "targetQuery")
+        target_query = tq.lexical if isinstance(tq, Literal) else None
+        if tc is None and target_query is None:
             continue
-        target = _term_key(tc)
+        target = _term_key(tc) if tc is not None else None
         sev_n = one(subj, SH + "severity")
         node_sev = _term_key(sev_n) if sev_n else SH_VIOLATION
         closed_v = one(subj, SH + "closed")
@@ -170,7 +178,10 @@ def compile_shapes(shapes_doc: str) -> CompiledShapes:
             path_iri = _term_key(path)
             if not inverse:
                 allowed.append(path_iri)
-            c = PropertyConstraint(shape_id=subj, target_class=target, path=path_iri, inverse=inverse)
+            c = PropertyConstraint(
+                shape_id=subj, target_class=target, path=path_iri,
+                inverse=inverse, target_query=target_query,
+            )
 
             def geti(p):
                 v = one(pk, SH + p)
@@ -219,6 +230,7 @@ def compile_shapes(shapes_doc: str) -> CompiledShapes:
                 NodeConstraint(
                     shape_id=subj,
                     target_class=target,
+                    target_query=target_query,
                     closed=isinstance(closed_v, Literal) and closed_v.lexical == "true",
                     ignored_props=ignored,
                     allowed_props=allowed,
@@ -241,7 +253,7 @@ _XSD_CAST = {
 def _result(df: DataFrame, c, component: str, path, offending, message: str) -> DataFrame:
     return df.select(
         F.col("uri").alias("focus_node"),
-        F.lit(c.target_class).alias("node_type"),
+        F.lit(c.target_class if c.target_class is not None else "query:" + (c.target_query or "")).alias("node_type"),
         F.lit(c.shape_id).alias("shape_id"),
         F.lit(SH + component).alias("property_shape"),
         offending.cast("string").alias("offending_value"),
@@ -267,8 +279,26 @@ class ShaclValidator:
         self.props = tables.node_props
         self.edges = tables.edges
 
-    def _focus(self, target_class: str) -> DataFrame:
-        return self.nodes.filter(F.array_contains("labels", self.m(target_class)))
+    def _focus(self, c) -> DataFrame:
+        """Focus-node selection: sh:targetClass label membership, or the
+        sh:targetQuery extension point — a SQL predicate over the focus
+        columns (uri, labels), validated before use exactly like the
+        reference validates its Cypher fragment
+        (SHACLValidator.java:885-895)."""
+        if c.target_class is not None:
+            return self.nodes.filter(F.array_contains("labels", self.m(c.target_class)))
+        q = c.target_query
+        try:
+            filtered = self.nodes.filter(F.expr(q))
+            filtered.schema  # force analysis — rejects bad columns/syntax
+            return filtered
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f'Invalid SQL expression: "{q}". The SQL fragment in a '
+                "sh:targetQuery element should form a valid query when "
+                "embedded in the following template: "
+                '"SELECT * FROM nodes(uri, labels) WHERE <your sql>"'
+            ) from e
 
     def _prop_vals(self, focus: DataFrame, path: str) -> DataFrame:
         p = self.props.filter(F.col("prop") == self.m(path)).select(
@@ -287,7 +317,7 @@ class ShaclValidator:
     # ---------------- property-constraint checks (§2.6 table)
     def check_property(self, c: PropertyConstraint) -> List[DataFrame]:
         out: List[DataFrame] = []
-        focus = self._focus(c.target_class)
+        focus = self._focus(c)
         vals = self._prop_vals(focus, c.path)
         msg = c.message or ""
 
@@ -467,7 +497,7 @@ class ShaclValidator:
 
     def check_node(self, c: NodeConstraint) -> List[DataFrame]:
         out: List[DataFrame] = []
-        focus = self._focus(c.target_class)
+        focus = self._focus(c)
         if c.closed:
             allowed = {self.m(p) for p in c.allowed_props} | {
                 self.m(p) for p in c.ignored_props

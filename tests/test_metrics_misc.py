@@ -187,3 +187,67 @@ def test_rels_with_inference(spark):
     )
     got = rels_with_inference(edges, closure, "related").toPandas()
     assert sorted(got.dst) == ["b", "c"]
+
+
+def test_micro_reasoner_categories_and_rels(spark):
+    """nodesInCategory with a custom in-category rel, boolean
+    inCategory/hasLabel, getRels with relDir
+    (MicroReasoners.java:102-127,164-199,398-480)."""
+    from neosemantics_spark.operators.inference import (
+        get_rels,
+        has_label_flags,
+        in_category_flags,
+        nodes_in_category,
+        transitive_closure,
+    )
+
+    sco = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"src": "Cat", "rel": "SCO", "dst": "Mammal"},
+                {"src": "Mammal", "rel": "SCO", "dst": "Animal"},
+                {"src": "Lizard", "rel": "SCO", "dst": "Animal"},
+            ]
+        )
+    )
+    closure = transitive_closure(sco)
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"src": "felix", "rel": "IN_CAT", "dst": "Cat"},
+                {"src": "rex", "rel": "IN_CAT", "dst": "Mammal"},
+                {"src": "liz", "rel": "IN_CAT", "dst": "Lizard"},
+                {"src": "felix", "rel": "other", "dst": "Animal"},
+            ]
+        )
+    )
+    # custom in-category rel + subcategory closure
+    got = nodes_in_category(edges, closure, "Mammal", in_cat_rel="IN_CAT").toPandas()
+    assert sorted(got.uri) == ["felix", "rex"]
+    inds = spark.createDataFrame(pd.DataFrame({"uri": ["felix", "rex", "liz"]}))
+    flags = in_category_flags(inds, edges, closure, "Mammal", in_cat_rel="IN_CAT").toPandas()
+    assert dict(zip(flags.uri, flags.in_category)) == {
+        "felix": True, "rex": True, "liz": False,
+    }
+    nodes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"uri": "felix", "labels": ["Cat"]},
+                {"uri": "liz", "labels": ["Lizard"]},
+                {"uri": "x", "labels": []},
+            ]
+        )
+    )
+    hl = has_label_flags(nodes, closure, "Mammal").toPandas()
+    assert dict(zip(hl.uri, hl.has_label)) == {"felix": True, "liz": False, "x": False}
+    # getRels with direction
+    spo = spark.createDataFrame(
+        pd.DataFrame([{"src": "IN_CAT", "rel": "SPO", "dst": "related"}])
+    )
+    spo_clo = transitive_closure(spo, rel="SPO")
+    out = get_rels(edges, spo_clo, "related", node_uri="felix", rel_dir=">").toPandas()
+    assert out.dst.tolist() == ["Cat"] and out.direction.tolist() == [">"]
+    both = get_rels(edges, spo_clo, "related", node_uri="Cat", rel_dir="").toPandas()
+    assert both.direction.tolist() == ["<"]
+    none_in = get_rels(edges, spo_clo, "related", node_uri="felix", rel_dir="<").toPandas()
+    assert len(none_in) == 0

@@ -125,6 +125,47 @@ ex:TS a sh:NodeShape ; sh:targetClass ex:T ;
     ),
 }
 
+# sh:targetQuery extension point (SHACLValidator.java:885-895 validates a
+# query fragment; here a SQL predicate over the focus columns)
+TRIADS["target_query"] = (
+    PRE + """
+ex:q1 a ex:T ; ex:num "1"^^xsd:integer .
+ex:q2 a ex:T ; ex:other "x" .
+ex:z3 a ex:T ; ex:other "y" .
+""",
+    PRE + """
+ex:QS a sh:NodeShape ;
+  sh:targetQuery "uri LIKE 'http://example.org/q%'" ;
+  sh:property [ sh:path ex:num ; sh:minCount 1 ] .
+""",
+    PRE + """
+[] a sh:ValidationResult ; sh:focusNode ex:q2 ;
+   sh:sourceConstraintComponent sh:MinCountConstraintComponent ;
+   sh:resultPath ex:num .
+""",
+)
+
+
+def test_target_query_invalid_sql_rejected(spark):
+    """A malformed sh:targetQuery fragment is rejected with the
+    reference-style error (SHACLValidator.java:885-895)."""
+    data = PRE + 'ex:a a ex:T ; ex:num "1"^^xsd:integer .\n'
+    shapes = PRE + """
+ex:QS a sh:NodeShape ;
+  sh:targetQuery "no_such_column >< 3" ;
+  sh:property [ sh:path ex:num ; sh:minCount 1 ] .
+"""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "tq.ttl", "commit": "c" * 40, "lang": "Turtle",
+              "content": data}]
+        )
+    )
+    cfg = GraphConfig(handle_vocab_uris=KEEP, handle_multival=ARRAY)
+    tables = materialize(transform_triples(extract_triples(src), cfg), cfg)
+    with pytest.raises(ValueError, match="sh:targetQuery"):
+        ShaclValidator(tables).validate(compile_shapes(shapes)).collect()
+
 
 def _expected_verdicts(results_ttl: str) -> set:
     stmts = parse_turtle(results_ttl)
