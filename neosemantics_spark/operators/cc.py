@@ -38,12 +38,70 @@ def sameas_edges(triples: DataFrame, extra_predicates: list[str] | None = None) 
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    on_round=None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
     """edges(a,b) undirected → (uri, component) where component is the
     lexicographic-min uri of the equivalence class (deterministic canonical
     representative). Only nodes that appear in an edge are returned —
     isolated uris are their own component by definition (callers coalesce).
+
+    `on_round(round_idx, contracted_edges, seconds)` is an optional
+    observability hook (used by scripts/cc_skew_bench.py to publish
+    rounds/shuffle evidence); when set, the convergence check uses the
+    exact count it already pays for instead of isEmpty().
+
+    `scratch_dir` is where the every-few-rounds parquet pins go (see
+    below); on a multi-executor cluster pass a shared path (the Iceberg
+    warehouse / object storage); default = a driver-local temp dir, which
+    is correct for local/single-node sessions.
+
+    ### Iterative-plan hygiene (all three failure modes MEASURED on the
+    ### 11M-edge skew bench — each wedged the JVM around round 10):
+    1. Plan blowup: the round body self-joins comp/ec, so without
+       per-round lineage truncation the logical plan DOUBLES per round
+       (observed: 99k Project nodes, 1.2M TreeNode lambdas on the
+       driver). → every round pins through localCheckpoint or parquet.
+    2. Stats blowup: Catalyst's size-in-bytes estimate MULTIPLIES through
+       each self-join and `localCheckpoint` carries the source plan's
+       stats through (originStats), so the BigInt estimate gains ~4× the
+       DIGITS per round — by round 10 the driver burned minutes inside
+       BigInteger.multiply (observed in thread dumps; caching does NOT
+       reset it either — verified empirically). → every 4th round pins
+       via a parquet round trip, whose scan stats are real file sizes.
+    3. Block retention: localCheckpoint storage is RDD-level, so
+       DataFrame.unpersist is a no-op and the ContextCleaner frees blocks
+       only after the py4j handle is GC'd (lazily) — 14 retained ~20M-row
+       tables filled a 48 GB heap. → serialized MEMORY_AND_DISK blocks +
+       gc.collect() per round so the cleaner keeps up.
     """
+    import gc as _gc
+    import os as _os
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.storagelevel import StorageLevel as _StorageLevel
+
+    spark = edges.sparkSession
+    _STATS_RESET_EVERY = 4
+    _scratch = {"dir": scratch_dir, "n": 0}
+
+    def _parquet_pin(df: DataFrame) -> DataFrame:
+        if _scratch["dir"] is None:
+            _scratch["dir"] = _tempfile.mkdtemp(prefix="ns_cc_pin_")
+        path = _os.path.join(_scratch["dir"], f"pin{_scratch['n']}")
+        _scratch["n"] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _pin(df: DataFrame, reset_stats: bool = False) -> DataFrame:
+        if reset_stats:
+            return _parquet_pin(df)
+        return df.localCheckpoint(eager=True, storageLevel=_StorageLevel.MEMORY_AND_DISK)
+
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # current component per node
     comp = (
@@ -53,19 +111,28 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     e = sym.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    _t0 = _time.perf_counter()
+    for _round in range(max_iter):
+        _reset = _round % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1
         # rewrite edge endpoints to current components (star contraction).
         # Checkpoint ONCE and reuse — the naive version recomputed this
         # join three times per iteration (isEmpty, delta, next-e).
-        ec = (
+        ec = _pin(
             e.join(comp.withColumnRenamed("uri", "a").withColumnRenamed("component", "ca"), "a")
             .join(comp.withColumnRenamed("uri", "b").withColumnRenamed("component", "cb"), "b")
             .select("ca", "cb")
             .filter(F.col("ca") != F.col("cb"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            reset_stats=_reset,
         )
-        if ec.isEmpty():
+        if on_round is not None:
+            n_ec = ec.count()
+            on_round(_round, n_ec, round(_time.perf_counter() - _t0, 2))
+            _t0 = _time.perf_counter()
+            empty = n_ec == 0
+        else:
+            empty = ec.isEmpty()
+        if empty:
             break
         sym2 = ec.union(ec.select(F.col("cb").alias("ca"), F.col("ca").alias("cb")))
         delta = sym2.groupBy("ca").agg(F.min("cb").alias("new_c")).filter(
@@ -83,24 +150,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         parent = comp1.select(
             F.col("uri").alias("component"), F.col("component").alias("pcomp")
         )
-        comp = (
+        comp = _pin(
             comp1.join(parent, "component", "left")
-            .select("uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"))
-            .localCheckpoint(eager=True)
+            .select("uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component")),
+            reset_stats=_reset,
         )
         e = ec.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        _gc.collect()  # release py4j handles → ContextCleaner reaps old checkpoints
     # final flattening: follow representatives until fixpoint (log-depth).
     # Convergence check = count of still-moving rows inside the same pass
     # (NOT exceptAll — that is a full extra shuffle-compare per round).
-    for _ in range(max_iter):
+    for _fr in range(max_iter):
         parent = comp.select(F.col("uri").alias("component"), F.col("component").alias("pcomp"))
-        j = comp.join(parent, "component", "left").select(
-            "uri",
-            F.col("component").alias("old"),
-            F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"),
-        ).localCheckpoint(eager=True)
+        j = _pin(
+            comp.join(parent, "component", "left").select(
+                "uri",
+                F.col("component").alias("old"),
+                F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"),
+            ),
+            reset_stats=_fr % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1,
+        )
         comp = j.select("uri", "component")
-        if j.filter(F.col("old") != F.col("component")).isEmpty():
+        done = j.filter(F.col("old") != F.col("component")).isEmpty()
+        _gc.collect()
+        if done:
             break
     return comp
 

@@ -59,11 +59,25 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile(ZIP)
 corpus = scale_corpus(spark, files, tpf, partitions=total * 4, fmt="Turtle")
+parse_only = os.environ.get("SCALING_STAGES", "") == "parse"
 t0 = time.perf_counter()
 stages = {}
 def mark(name):
     stages[name] = round(time.perf_counter() - t0 - sum(stages.values()), 2)
 cfg = GraphConfig(handle_vocab_uris=KEEP)
+if parse_only:
+    # the 100 TB-dominant stage in isolation: a pure narrow map (no
+    # shuffle, no cache) — measures executor-JVM parse scaling without
+    # the single-host loopback-shuffle artifact
+    raw = extract_triples(corpus)
+    n = raw.count()
+    mark("parse")
+    wall = time.perf_counter() - t0
+    print(json.dumps({"executors": n_exec, "cores_per_exec": cores, "triples": n,
+                      "wall_sec": round(wall, 2), "stages": stages,
+                      "tps": round(n / wall, 1)}))
+    spark.stop()
+    sys.exit(0)
 raw = extract_triples(corpus).cache()
 n = raw.count()
 mark("parse")
