@@ -265,8 +265,8 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return emb.select(
-        "vec_id", similarity.sign_lsh_bucket(F.col("embedding"), 8).alias("bucket")
+    return similarity.lsh_bucket_table(emb, nbits=8, bands=1).select(
+        F.col("id").alias("vec_id"), "bucket"
     )
 
 
