@@ -270,6 +270,15 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse quantization: every vector assigned to its nearest
+    deterministic centroid (the sqrt-scaling ANN path alongside LSH)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.ivf_assign(emb, n_centroids=16).select(
+        F.col("id").alias("vec_id"), "centroid_id", "dist"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.language_id(_docs(spark, sf)).select("doc_id", "pred_lang", "score")
 
@@ -486,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -747,6 +757,25 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 )
 SELECT vec_id, {_lsh_bucket_sql('v', 8, band=0)} AS bucket FROM e
+"""
+    out["ann_ivf"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), p AS (
+  SELECT greatest(count(*) // 16, 1) AS stride FROM e
+), c AS (
+  SELECT vec_id // stride AS centroid_id, v AS cvec
+  FROM e, p WHERE vec_id % stride = 0 AND vec_id / stride < 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         floor(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+               j -> (e.v[j] - c.cvec[j]) * (e.v[j] - c.cvec[j])))) * 10000 + 0.5) / 10000 AS dist
+  FROM e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, dist FROM r WHERE rn = 1
 """
     out["lang_id"] = _lang_id_sql()
     out["text_quality"] = _quality_sql()

@@ -84,3 +84,84 @@ class GraphConfig:
         # SHORTEN/KEEP ⇒ RDF-aware graph; IGNORE/MAP ⇒ plain LPG
         # (GraphConfig.java:228-240)
         return self.handle_vocab_uris in (SHORTEN, SHORTEN_STRICT, KEEP)
+
+
+class GraphConfigNotFound(LookupError):
+    pass
+
+
+class GraphNotEmptyError(RuntimeError):
+    pass
+
+
+class GraphConfigStore:
+    """Persistent graph-config singleton — the `_GraphConfig` node analogue
+    with the n10s.graphconfig.init/set/show/drop procedure semantics
+    (/root/reference/src/main/java/n10s/graphconfig/GraphConfigProcedures.java):
+    init creates-or-overwrites, set mutates an existing config, drop
+    removes it — and ALL writes are refused once the graph has data (the
+    reference's graphIsEmpty() guard), because changing import semantics
+    under an existing graph silently corrupts it.
+
+    Storage is one JSON file next to the output tables; `graph_dir` is the
+    directory whose non-emptiness means "the graph exists" (e.g. the
+    checkpoint's triples root)."""
+
+    def __init__(self, root: str, graph_dir: Optional[str] = None):
+        import os
+
+        self.path = os.path.join(root, "_graph_config.json")
+        self.graph_dir = graph_dir
+
+    def _graph_is_empty(self) -> bool:
+        import os
+
+        if self.graph_dir is None:
+            return True
+        return not (os.path.isdir(self.graph_dir) and os.listdir(self.graph_dir))
+
+    def _guard(self, op: str) -> None:
+        if not self._graph_is_empty():
+            raise GraphNotEmptyError(
+                f"cannot {op} graph config: the graph is not empty "
+                "(GraphConfigProcedures semantics — changing import "
+                "semantics under existing data corrupts the graph)"
+            )
+
+    def init(self, **props) -> GraphConfig:
+        """Create or overwrite (GraphConfigProcedures.init)."""
+        import os
+
+        self._guard("init")
+        cfg = GraphConfig(**props)
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "w") as f:
+            f.write(cfg.to_json())
+        return cfg
+
+    def set(self, **props) -> GraphConfig:
+        """Update an existing config (GraphConfigProcedures.set — raises
+        GraphConfigNotFound when init was never called)."""
+        self._guard("set")
+        cur = self.show()
+        merged = {**json.loads(cur.to_json()), **props}
+        cfg = GraphConfig(**merged)
+        with open(self.path, "w") as f:
+            f.write(cfg.to_json())
+        return cfg
+
+    def show(self) -> GraphConfig:
+        import os
+
+        if not os.path.exists(self.path):
+            raise GraphConfigNotFound("no graph config — run init() first")
+        with open(self.path) as f:
+            return GraphConfig.from_json(f.read())
+
+    def drop(self) -> None:
+        import os
+
+        self._guard("drop")
+        if not os.path.exists(self.path):
+            raise GraphConfigNotFound("no graph config — run init() first")
+        os.remove(self.path)

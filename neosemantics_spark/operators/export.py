@@ -317,6 +317,52 @@ def to_turtle_blocks(
     return blocks
 
 
+def to_trig_blocks(
+    triples: DataFrame, prefix_to_ns: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """TriG serialization (the quad-aware Turtle family): default-graph
+    triples render as plain Turtle blocks; named-graph triples as
+    `<g> { <s> <p> o . }` — one block PER (graph, subject), which TriG
+    defines to merge, so a billion-triple graph never becomes one giant
+    output row."""
+    df = triples
+    if "sspo" in df.columns:
+        df = df.filter(F.col("sspo").isNull())
+    if "graph" not in df.columns:
+        df = df.withColumn("graph", F.lit(None).cast("string"))
+    pred = _term_ttl(F.col("predicate"), prefix_to_ns)
+    df = df.withColumn("_subj", _term_ttl(F.col("subject"), prefix_to_ns)).withColumn(
+        "_po", F.concat(pred, F.lit(" "), _object_ttl(prefix_to_ns))
+    )
+    blocks = (
+        df.groupBy("graph", "_subj")
+        .agg(F.array_join(F.array_sort(F.collect_list("_po")), " ;\n    ").alias("_pos"))
+        .select(
+            "graph",
+            F.concat(F.col("_subj"), F.lit(" "), F.col("_pos"), F.lit(" .")).alias("_block"),
+        )
+    )
+    line = F.when(
+        F.col("graph").isNotNull(),
+        F.concat(F.lit("<"), F.col("graph"), F.lit("> {\n"), F.col("_block"), F.lit("\n}")),
+    ).otherwise(F.col("_block"))
+    return blocks.select(line.alias("line"))
+
+
+def write_trig(
+    triples: DataFrame,
+    path: str,
+    prefix_to_ns: Optional[Dict[str, str]] = None,
+    single_file: bool = False,
+) -> None:
+    blocks = to_trig_blocks(triples, prefix_to_ns)
+    if single_file:
+        blocks = blocks.coalesce(1)
+    _with_partition_header(blocks, turtle_header(prefix_to_ns)).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def turtle_header(prefix_to_ns: Optional[Dict[str, str]]) -> list[str]:
     if not prefix_to_ns:
         return []

@@ -258,6 +258,122 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) coarse quantization: assign every vector to its
+    nearest centroid. Centroids are a deterministic sample of the corpus
+    itself (`id % stride == 0` — no RNG, engine-portable; production would
+    run k-means refinement over the same assignment loop). The assignment
+    is a broadcast of the tiny centroid set against the corpus — one
+    narrow stage, no shuffle. Returns (id, centroid_id, dist).
+
+    Scale path: searches then probe only the top-p nearest centroid lists
+    instead of the whole corpus — the standard IVF trade (recall vs probe
+    count) with the centroid fan-out growing as sqrt(corpus)."""
+    from pyspark.sql.window import Window
+
+    n = embeddings.count()
+    stride = max(n // n_centroids, 1)
+    cents = embeddings.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)).select(
+        (F.col(id_col) / stride).cast("long").alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "centroid_id",
+            round4(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    )
+                )
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "centroid_id", "dist")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: score only vectors whose centroid is
+    among the query's `n_probe` nearest centroids. Candidate generation is
+    an equi-join on centroid_id — never all-pairs."""
+    from pyspark.sql.window import Window
+
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(assign.select("id", "centroid_id"), "id")
+    # per-query probe set: the centroids of its n_probe nearest centroids
+    n = embeddings.count()
+    stride = max(n // n_centroids, 1)
+    cents = embeddings.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)).select(
+        (F.col(id_col) / stride).cast("long").alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+    q = vecs.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d2"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+    probes = qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= n_probe).select(
+        "query_id", "centroid_id"
+    )
+    cand = F.broadcast(probes).join(vecs, "centroid_id").select(
+        "query_id", F.col("id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        round4(cosine(F.col("qv"), F.col("nv"))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -71,6 +71,43 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup_exact(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-micro-batch exact dedup — the custom stateful operator a
+    continuous training-data ingest needs: the first document carrying a
+    given sha2(text) is emitted (min doc_id within the batch for
+    determinism), every later arrival in ANY micro-batch is dropped.
+
+    `applyInPandasWithState` keyed by the content hash: state = one seen
+    flag per hash; Spark's state store gives exactly-once semantics across
+    restarts via the stream checkpoint. The shuffle key is the 64-byte
+    hash, never the document text (same rule as batch dedup_exact)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("text_hash")
+    )
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        emitted = state.exists
+        best = None
+        for pdf in pdf_iter:
+            if not emitted and len(pdf):
+                mn = int(pdf.doc_id.min())
+                best = mn if best is None else min(best, mn)
+        if best is not None:
+            state.update((1,))
+            yield pd.DataFrame({"doc_id": [best], "text_hash": [key[0]]})
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType="doc_id long, text_hash string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def preview(triples: DataFrame, limit: int = 1000) -> DataFrame:
     """n10s.rdf.preview / streamTripleLimit analogue: bounded sample of the
     parsed-but-unmaterialized triples (RDFProcedures.java:101-132)."""

@@ -106,6 +106,19 @@ def test_lsh_topk_overlaps_brute_force(spark, emb):
     assert ap.score.max() <= bf.score.max() + 1e-9
 
 
+def test_ivf_topk_overlaps_brute_force(spark, emb):
+    """IVF-probed top-k finds most of the exact top-k (recall sanity) and
+    assignment covers every vector exactly once."""
+    assign = similarity.ivf_assign(emb, n_centroids=8).toPandas()
+    assert len(assign) == emb.count()
+    assert assign.id.is_unique
+    assert assign.centroid_id.nunique() <= 8
+    bf = similarity.brute_force_topk(emb, [0], k=50).toPandas()
+    ap = similarity.ivf_topk(emb, [0], k=10, n_centroids=8, n_probe=4).toPandas()
+    assert len(ap) == 10
+    assert len(set(ap.neighbor_id) & set(bf.neighbor_id)) >= 5
+
+
 def test_language_id(spark, docs):
     out = text.language_id(docs).toPandas()
     assert set(out.columns) == {"doc_id", "pred_lang", "score"}

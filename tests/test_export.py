@@ -149,6 +149,36 @@ def test_turtle_star_block(spark, raw):
     assert reparsed and all(isinstance(st.s, QuotedTriple) for st in reparsed)
 
 
+def test_trig_serialization_reparse(spark):
+    """TriG blocks round-trip the graph column through our TriG parser."""
+    import pandas as pd
+
+    from neosemantics_spark.operators.export import to_trig_blocks
+    from neosemantics_spark.rdf.turtle import parse_turtle
+    from neosemantics_spark.sources.parse import extract_triples
+
+    trig = """@prefix ex: <http://example.org/> .
+ex:a ex:p ex:b .
+ex:g1 { ex:a ex:q "v1" . ex:b ex:q "v2" . }
+ex:g2 { ex:a ex:q "v3" . }
+"""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "d.trig", "commit": "c" * 40, "lang": "TriG",
+              "content": trig}]
+        )
+    )
+    trip = extract_triples(src)
+    lines = [r["line"] for r in to_trig_blocks(trip).collect()]
+    doc = "\n".join(lines)
+    reparsed = parse_turtle(doc)
+    assert len(reparsed) == 4
+    got = {(str(s.s.value), s.g) for s in reparsed}
+    exp = {(r["subject"], r["graph"]) for r in trip.collect()}
+    assert got == exp
+    assert any(l.startswith("<http://example.org/g1> {") for l in lines)
+
+
 def test_jsonld_serialization_reparse(spark, raw):
     """JSON-LD node-object lines re-parse (via our own JSON-LD parser) to
     the same triple multiset."""

@@ -78,6 +78,46 @@ def test_windowed_event_counts_stream(spark, tmp_path, sf_dir):
     assert (merged.n_s == merged.n_b).all()
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): first-seen wins
+    ACROSS micro-batches — duplicates arriving in later batches drop."""
+    from neosemantics_spark.streaming.stream import streaming_dedup_exact
+
+    src_dir = str(tmp_path / "docs")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    b1 = pd.DataFrame(
+        [{"doc_id": 1, "text": "A"}, {"doc_id": 2, "text": "B"},
+         {"doc_id": 3, "text": "A"}, {"doc_id": 4, "text": "C"}]
+    )
+    b2 = pd.DataFrame([{"doc_id": 5, "text": "A"}, {"doc_id": 6, "text": "D"}])
+    spark.createDataFrame(b1).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
+    # exactly one row per distinct text (A B C D), duplicates dropped
+    # ACROSS batches by the state store; the A-winner depends on which
+    # file's micro-batch ran first (1 or 5) but never both, and 3 (same
+    # batch as 1) never survives
+    assert len(out) == 4 and out.text_hash.nunique() == 4
+    got = set(out.doc_id)
+    assert got in ({1, 2, 4, 6}, {2, 4, 5, 6})
+    assert 3 not in got
+
+
 def test_json_as_tree(spark):
     doc = '{"name": "proj", "stars": 5, "owner": {"login": "ab", "admin": true}, "tags": ["x", "y"]}'
     src = _src(spark, [("d.json", "JSON", doc)])
