@@ -273,9 +273,12 @@ def ivf_assign(
 
     Scale path: searches then probe only the top-p nearest centroid lists
     instead of the whole corpus — the standard IVF trade (recall vs probe
-    count) with the centroid fan-out growing as sqrt(corpus)."""
-    from pyspark.sql.window import Window
+    count) with the centroid fan-out growing as sqrt(corpus).
 
+    The argmin is `min(struct(dist, centroid_id))` — deterministic
+    lexicographic tie-break AND a partial-aggregated groupBy (map-side
+    combine absorbs the n_centroids fan-out before the shuffle), instead
+    of a row_number window that would sort-shuffle every scored row."""
     n = embeddings.count()
     stride = max(n // n_centroids, 1)
     cents = embeddings.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < n_centroids)).select(
@@ -302,11 +305,10 @@ def ivf_assign(
             ).alias("dist"),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("id", "centroid_id", "dist")
+        scored.groupBy("id")
+        .agg(F.min(F.struct("dist", "centroid_id")).alias("m"))
+        .select("id", F.col("m.centroid_id").alias("centroid_id"), F.col("m.dist").alias("dist"))
     )
 
 

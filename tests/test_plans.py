@@ -61,6 +61,22 @@ def test_partition_pruning_on_edges(spark, tmp_path):
     assert filtered.count() == 2
 
 
+def test_ivf_and_lsh_plan_shape(spark, sf_dir):
+    """IVF assignment broadcasts the centroid set and aggregates the
+    argmin (no row_number sort-shuffle); the LSH bucket table contains no
+    interpreted higher-order functions (ArrayTransform/ArrayAggregate)."""
+    from neosemantics_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p1 = formatted_plan(similarity.ivf_assign(emb, 8))
+    assert has_broadcast(p1)
+    assert "Window" not in p1  # argmin via min(struct), not row_number
+    p2 = formatted_plan(similarity.lsh_bucket_table(emb, 8, 2))
+    assert "ArrayTransform" not in p2 and "ArrayAggregate" not in p2, (
+        "LSH bucket table regressed to interpreted higher-order functions"
+    )
+
+
 def test_jaccard_candidate_semi_join_precedes_pair_join(spark, sf_dir):
     """VERDICT r1: with a candidate set, the shingle postings must be
     semi-joined down to candidate doc ids BEFORE the posting self-join —
