@@ -88,6 +88,7 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_topk",
+        "ann_ivf",
         "text_quality",
         "events_window",
         "orders_rdf",
