@@ -221,6 +221,50 @@ def q_kg_export_ttl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kg_export_trig(spark: SparkSession, sf: str) -> DataFrame:
+    """TriG writer round trip: deterministic quads (named graphs per
+    doc_id%3 + default-graph rows) → TriG blocks → reparsed by the TriG
+    parser with the graph column preserved."""
+    from neosemantics_spark.operators.export import to_trig_blocks
+
+    docs = _docs(spark, sf)
+    base = docs.select(
+        F.concat(F.lit(DOC), F.col("doc_id").cast("string")).alias("subject"),
+        F.col("lang").alias("object"),
+        F.col("doc_id"),
+        F.col("n_chars"),
+    )
+    named = base.select(
+        "subject",
+        F.lit(VOC + "lang").alias("predicate"),
+        "object",
+        F.lit(True).alias("is_literal"),
+        F.lit(XSD + "string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat(F.lit("http://example.org/graph/"), (F.col("doc_id") % 3).cast("string")).alias("graph"),
+    )
+    default_g = base.select(
+        "subject",
+        F.lit(VOC + "nchars").alias("predicate"),
+        F.col("n_chars").cast("string").alias("object"),
+        F.lit(True).alias("is_literal"),
+        F.lit(XSD + "string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    blocks = to_trig_blocks(named.unionByName(default_g))
+    src = blocks.select(
+        F.lit("x").alias("repo"),
+        F.lit("block.trig").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("TriG").alias("lang"),
+        F.col("line").alias("content"),
+    )
+    return extract_triples(src).select(
+        "subject", "predicate", "object", "is_literal", "graph"
+    )
+
+
 def q_orders_rdf(spark: SparkSession, sf: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf}/orders.parquet")
     return relational_to_triples(
@@ -487,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl": q_kg_shacl,
         "kg_export_nt": q_kg_export_nt,
         "kg_export_ttl": q_kg_export_ttl,
+        "kg_export_trig": q_kg_export_trig,
         "orders_rdf": q_orders_rdf,
         "dedup_exact_kept": q_dedup_exact_kept,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -668,6 +713,15 @@ def oracle_sql() -> dict[str, str]:
     out["kg_export_ttl"] = _doc_triples_nt_sql(
         "SELECT subject, predicate, object, is_literal, datatype FROM t"
     )
+    out["kg_export_trig"] = f"""
+SELECT '{DOC}' || doc_id AS subject, '{VOC}lang' AS predicate, lang AS object,
+       true AS is_literal, 'http://example.org/graph/' || (doc_id % 3) AS graph
+FROM documents
+UNION ALL
+SELECT '{DOC}' || doc_id, '{VOC}nchars', CAST(n_chars AS VARCHAR),
+       true, CAST(NULL AS VARCHAR)
+FROM documents
+"""
     out["kg_triples_turtle"] = f"""
 SELECT '{DOC}' || doc_id AS subject, '{RDFT}' AS predicate, '{VOC}Document' AS object,
        false AS is_literal, CAST(NULL AS VARCHAR) AS lang FROM documents
