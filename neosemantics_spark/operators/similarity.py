@@ -227,24 +227,39 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 5,
     nbits: int = 6,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to same-bucket candidates
-    (single hyperplane band; widen recall by unioning over bands)."""
+    """Approximate top-k: exact cosine restricted to candidates sharing a
+    bucket with the query in ANY of `bands` hyperplane tables (multi-band
+    raises recall; candidates are deduped before scoring). Buckets come
+    from the codegen `lsh_bucket_table` path — the per-row higher-order
+    formulation is interpreted and pays ~dims×nbits lambda calls per row,
+    which at 10^9 rows is core-hours."""
     from pyspark.sql.window import Window
 
-    with_bucket = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        sign_lsh_bucket(F.col(vec_col), nbits, band=0).alias("bucket"),
+    bt = lsh_bucket_table(embeddings, nbits, bands, id_col, vec_col)
+    qb = bt.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "band", "bucket"
     )
-    q = with_bucket.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "bucket"
+    cand = (
+        F.broadcast(qb)
+        .join(bt.select(F.col("id").alias("neighbor_id"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    qv = vecs.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qvec")
     )
     scored = (
-        F.broadcast(q)
-        .join(with_bucket.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec"), "bucket"), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nvec")), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id", "neighbor_id",
             round4(cosine(F.col("qvec"), F.col("nvec"))).alias("score"),
