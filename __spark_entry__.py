@@ -106,6 +106,20 @@ def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     return t.select(F.col("predicate"), F.col("pred_t").alias("pred_short")).distinct()
 
 
+def q_kg_map(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 MAP mode end-to-end: mapped vocabulary elements take the user
+    name, everything else falls back to IGNORE local-name semantics, and
+    an rdf:type mapping is discarded at import
+    (RDFToLPGStatementProcessor.java:74-86, 260-269)."""
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    cfg = GraphConfig(handle_vocab_uris="MAP")
+    # an rdf:type entry would be discarded by MappingStore.import_mappings
+    # (the reference's import-side prohibition) — so only real mappings here
+    mapping = {VOC + "lang": "LANGUAGE", VOC + "nchars": "SIZE"}
+    t = transform_triples(extract_triples(src), cfg, mapping=mapping)
+    return t.select("subject", "pred_t")
+
+
 def q_kg_sameas_cc(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
@@ -526,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_shorten": q_kg_shorten,
+        "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
         "kg_typed_literals": q_kg_typed_literals,
         "kg_shacl": q_kg_shacl,
@@ -712,6 +727,17 @@ def oracle_sql() -> dict[str, str]:
     out["kg_triples_nt"] = _doc_triples_nt_sql("SELECT * FROM t")
     out["kg_export_ttl"] = _doc_triples_nt_sql(
         "SELECT subject, predicate, object, is_literal, datatype FROM t"
+    )
+    out["kg_map"] = _doc_triples_nt_sql(
+        f"""
+SELECT subject,
+  CASE predicate
+    WHEN '{VOC}lang' THEN 'LANGUAGE'
+    WHEN '{VOC}nchars' THEN 'SIZE'
+    ELSE regexp_extract(predicate, '^(.*[#/])([^#/]*)$', 2)
+  END AS pred_t
+FROM t
+"""
     )
     out["kg_export_trig"] = f"""
 SELECT '{DOC}' || doc_id AS subject, '{VOC}lang' AS predicate, lang AS object,
