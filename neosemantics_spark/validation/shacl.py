@@ -279,26 +279,51 @@ class ShaclValidator:
         self.props = tables.node_props
         self.edges = tables.edges
 
-    def _focus(self, c) -> DataFrame:
+    # SQL functions a sh:targetQuery may NOT call: these escape the
+    # declarative sandbox into arbitrary JVM invocation. The reference
+    # EXPLAIN-validates its Cypher fragment (SHACLValidator.java:885-895);
+    # Spark SQL needs an explicit denylist on the ANALYZED tree because
+    # reflect()/java_method() are legal expressions.
+    _FORBIDDEN_FNS = ("reflect", "java_method")
+
+    def _focus(self, c, node_set: Optional[DataFrame] = None) -> DataFrame:
         """Focus-node selection: sh:targetClass label membership, or the
         sh:targetQuery extension point — a SQL predicate over the focus
         columns (uri, labels), validated before use exactly like the
         reference validates its Cypher fragment
-        (SHACLValidator.java:885-895)."""
+        (SHACLValidator.java:885-895).
+
+        `node_set` (DataFrame[uri]) intersects the focus set UP FRONT —
+        the validateSet/delta scoping of SHACLValidator.java:922-936
+        (node-set-scoped query variants): every downstream check family
+        (incl. the cardinality and closed-shape aggregations) then prunes
+        to the set via this one semi-join instead of aggregating the full
+        graph and filtering results."""
         if c.target_class is not None:
-            return self.nodes.filter(F.array_contains("labels", self.m(c.target_class)))
-        q = c.target_query
-        try:
-            filtered = self.nodes.filter(F.expr(q))
-            filtered.schema  # force analysis — rejects bad columns/syntax
-            return filtered
-        except Exception as e:  # noqa: BLE001
-            raise ValueError(
-                f'Invalid SQL expression: "{q}". The SQL fragment in a '
-                "sh:targetQuery element should form a valid query when "
-                "embedded in the following template: "
-                '"SELECT * FROM nodes(uri, labels) WHERE <your sql>"'
-            ) from e
+            focus = self.nodes.filter(F.array_contains("labels", self.m(c.target_class)))
+        else:
+            q = c.target_query
+            try:
+                focus = self.nodes.filter(F.expr(q))
+                focus.schema  # force analysis — rejects bad columns/syntax
+            except Exception as e:  # noqa: BLE001
+                raise ValueError(
+                    f'Invalid SQL expression: "{q}". The SQL fragment in a '
+                    "sh:targetQuery element should form a valid query when "
+                    "embedded in the following template: "
+                    '"SELECT * FROM nodes(uri, labels) WHERE <your sql>"'
+                ) from e
+            analyzed = focus._jdf.queryExecution().analyzed().toString().lower()
+            for fn in self._FORBIDDEN_FNS:
+                if fn + "(" in analyzed:
+                    raise ValueError(
+                        f'Forbidden function "{fn}" in sh:targetQuery "{q}": '
+                        "shapes documents may only use pure SQL predicates "
+                        "over (uri, labels)."
+                    )
+        if node_set is not None:
+            focus = focus.join(node_set.select("uri"), "uri", "left_semi")
+        return focus
 
     def _prop_vals(self, focus: DataFrame, path: str) -> DataFrame:
         p = self.props.filter(F.col("prop") == self.m(path)).select(
@@ -315,9 +340,11 @@ class ShaclValidator:
         return focus.select("uri").join(e, "uri", "inner")
 
     # ---------------- property-constraint checks (§2.6 table)
-    def check_property(self, c: PropertyConstraint) -> List[DataFrame]:
+    def check_property(
+        self, c: PropertyConstraint, node_set: Optional[DataFrame] = None
+    ) -> List[DataFrame]:
         out: List[DataFrame] = []
-        focus = self._focus(c)
+        focus = self._focus(c, node_set)
         vals = self._prop_vals(focus, c.path)
         msg = c.message or ""
 
@@ -495,9 +522,11 @@ class ShaclValidator:
             )
         return out
 
-    def check_node(self, c: NodeConstraint) -> List[DataFrame]:
+    def check_node(
+        self, c: NodeConstraint, node_set: Optional[DataFrame] = None
+    ) -> List[DataFrame]:
         out: List[DataFrame] = []
-        focus = self._focus(c)
+        focus = self._focus(c, node_set)
         if c.closed:
             allowed = {self.m(p) for p in c.allowed_props} | {
                 self.m(p) for p in c.ignored_props
@@ -530,13 +559,20 @@ class ShaclValidator:
 
     def validate(self, shapes: CompiledShapes, node_set: Optional[DataFrame] = None) -> DataFrame:
         """Full-graph validation (ValidationProcedures.java:128-136); pass
-        `node_set` (DataFrame[uri]) for the validateSet variant (:139-153)."""
+        `node_set` (DataFrame[uri]) for the validateSet variant (:139-153).
+
+        The node_set is pushed INTO focus selection (one semi-join per
+        constraint, below every aggregation — SHACLValidator.java:922-936
+        scopes each compiled query the same way), so validating 100 nodes
+        of a huge graph never pays full-graph cardinality/closed-shape
+        aggregation. A result-level semi-join remains only as a guard for
+        checks whose offending row could surface a non-focus uri."""
         spark = self.nodes.sparkSession
         checks: List[DataFrame] = []
         for c in shapes.props:
-            checks.extend(self.check_property(c))
+            checks.extend(self.check_property(c, node_set))
         for c in shapes.nodes:
-            checks.extend(self.check_node(c))
+            checks.extend(self.check_node(c, node_set))
         if not checks:
             return spark.createDataFrame([], RESULT_SCHEMA)
         res = reduce(DataFrame.unionByName, checks)
@@ -545,3 +581,59 @@ class ShaclValidator:
                 node_set.select(F.col("uri").alias("focus_node")), "focus_node", "left_semi"
             )
         return res
+
+    def validate_delta(
+        self,
+        shapes: CompiledShapes,
+        delta_nodes: DataFrame,
+        skip_untouched_shapes: bool = True,
+    ) -> DataFrame:
+        """validateTransaction analogue (ValidationProcedures.java:23-55,
+        155-170): validate ONLY the nodes touched by a delta — e.g.
+        `touched_nodes(checkpoint, run_id)` after an incremental run.
+
+        The reference indexes constraints by trigger label
+        (ValidatorConfig.java:100-113,147-171) so a transaction touching no
+        Person node skips every Person shape. Spark analogue: collect the
+        (tiny — label vocabulary sized) distinct label set of the delta
+        nodes and skip constraint families whose target class has no delta
+        member; constraints targeting via sh:targetQuery can't be indexed
+        and always run (scoped to the delta by `_focus`)."""
+        spark = self.nodes.sparkSession
+        delta_nodes = delta_nodes.select("uri")
+        props, node_cons = shapes.props, shapes.nodes
+        if skip_untouched_shapes:
+            touched_labels = {
+                r["l"]
+                for r in self.nodes.join(delta_nodes, "uri", "left_semi")
+                .select(F.explode("labels").alias("l"))
+                .distinct()
+                .collect()
+            }
+
+            def runs(c) -> bool:
+                if c.target_class is None:  # targetQuery — no label index
+                    return True
+                return self.m(c.target_class) in touched_labels
+
+            props = [c for c in props if runs(c)]
+            node_cons = [c for c in node_cons if runs(c)]
+        checks: List[DataFrame] = []
+        for c in props:
+            checks.extend(self.check_property(c, delta_nodes))
+        for c in node_cons:
+            checks.extend(self.check_node(c, delta_nodes))
+        if not checks:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        return reduce(DataFrame.unionByName, checks)
+
+
+def touched_nodes(checkpoint, run_id: str) -> DataFrame:
+    """Nodes touched by one incremental run: subjects plus resource
+    objects of the run's triples (adding an edge touches both endpoints —
+    the trigger-node set of ValidationProcedures.java:155-170). Reads only
+    the run's partition (triples/run_id=<id>) — partition-pruned scan."""
+    t = checkpoint.all_triples().filter(F.col("run_id") == run_id)
+    subj = t.select(F.col("subject").alias("uri"))
+    obj = t.filter(~F.col("is_literal")).select(F.col("object").alias("uri"))
+    return subj.unionByName(obj).distinct()

@@ -111,3 +111,18 @@ def test_orphan_run_dir_pruned(spark, tmp_path):
     assert r.new_files == 1
     assert sorted(set(cp.all_triples().toPandas().run_id)) == ["good", "good2"]
     assert cp.all_triples().count() == 3
+
+
+def test_touched_nodes_delta_validation(spark, tmp_path):
+    """Incremental run → touched_nodes(run) = subjects + resource objects
+    of that run only → feeds validate_delta (the per-batch validation an
+    incremental 100 TB ingest runs on every delta)."""
+    from neosemantics_spark.validation.shacl import touched_nodes
+
+    cp = ImportCheckpoint(spark, str(tmp_path / "ckpt5"))
+    nt_rel = '<http://e/a> <http://e/knows> <http://e/z> .\n'
+    cp.run(_src(spark, [("f1.nt", "c1", NT1)]))
+    r2 = cp.run(_src(spark, [("f1.nt", "c1", NT1), ("f2.nt", "c1", nt_rel)]))
+    got = sorted(r.uri for r in touched_nodes(cp, r2.run_id).collect())
+    # run 2 processed only f2: subject a + resource object z, NOT b from run 1
+    assert got == ["http://e/a", "http://e/z"], got

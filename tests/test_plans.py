@@ -111,3 +111,44 @@ def test_parse_filter_prunes_source_columns(spark, sf_dir):
     assert schemas
     # the documents scan feeds only the columns the content derivation uses
     assert all("embedding" not in s for s in schemas)
+
+
+def test_shacl_node_set_semi_join_below_cardinality_agg(spark):
+    """VERDICT r2: validate(node_set)/validate_delta must prune focus
+    nodes BEFORE the cardinality aggregation — the node-set semi-join has
+    to sit in the Aggregate's subtree, not as a post-filter on results.
+    Tree prints root-first, so the Aggregate must appear before a LeftSemi
+    in the optimized plan string."""
+    import pandas as pd
+
+    from neosemantics_spark.config import ARRAY, KEEP, GraphConfig
+    from neosemantics_spark.operators.materialize import materialize, transform_triples
+    from neosemantics_spark.sources.parse import extract_triples
+    from neosemantics_spark.validation.shacl import ShaclValidator, compile_shapes
+
+    data = """@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:name "x" .
+ex:b a ex:T .
+"""
+    shapes_doc = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "d.ttl", "commit": "c" * 40, "lang": "Turtle", "content": data}]
+        )
+    )
+    cfg = GraphConfig(handle_vocab_uris=KEEP, handle_multival=ARRAY)
+    tb = materialize(transform_triples(extract_triples(src), cfg), cfg)
+    v = ShaclValidator(tb)
+    shapes = compile_shapes(shapes_doc)
+    node_set = spark.createDataFrame(pd.DataFrame({"uri": ["http://example.org/b"]}))
+    [min_count_check] = v.check_property(shapes.props[0], node_set)
+    plan = min_count_check._jdf.queryExecution().optimizedPlan().toString()
+    first_agg = plan.find("Aggregate")
+    assert first_agg >= 0, plan[:800]
+    assert "LeftSemi" in plan[first_agg:], (
+        "node-set semi-join is not below the cardinality aggregation:\n" + plan[:1500]
+    )

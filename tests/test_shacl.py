@@ -107,3 +107,49 @@ def test_shacl_closed_shape(spark, tables):
     closed = res[res.property_shape.str.endswith("ClosedConstraintComponent")]
     assert list(closed.focus_node) == [EX + "npc"]
     assert list(closed.offending_value) == [EX + "rogue"]
+
+
+def test_shacl_validate_delta_matches_scoped_validate(spark, tables):
+    """validateTransaction analogue: validate_delta over a delta node set
+    must produce exactly the node-set-scoped validate() verdicts (the
+    label-index shape skipping is an optimization, never a semantic
+    change — ValidatorConfig.java:147-171)."""
+    shapes = compile_shapes(SHAPES)
+    v = ShaclValidator(tables)
+    delta = spark.createDataFrame(pd.DataFrame({"uri": [EX + "p2"]}))
+    got = sorted(
+        (r.focus_node, r.property_shape.split("#")[-1])
+        for r in v.validate_delta(shapes, delta).toPandas().itertuples()
+    )
+    want = sorted(
+        (r.focus_node, r.property_shape.split("#")[-1])
+        for r in v.validate(shapes, node_set=delta).toPandas().itertuples()
+    )
+    assert got == want and len(got) == 4, got
+
+
+def test_shacl_validate_delta_skips_untouched_shapes(spark, tables):
+    """A delta touching only Robot nodes must not run Person constraints
+    (trigger-label index, ValidatorConfig.java:100-113); and an
+    off-universe delta runs nothing at all."""
+    shapes = compile_shapes(SHAPES)
+    v = ShaclValidator(tables)
+    robot_delta = spark.createDataFrame(pd.DataFrame({"uri": [EX + "npc"]}))
+    assert v.validate_delta(shapes, robot_delta).count() == 0
+    ghost = spark.createDataFrame(pd.DataFrame({"uri": [EX + "nobody"]}))
+    assert v.validate_delta(shapes, ghost).count() == 0
+
+
+def test_shacl_target_query_forbidden_fns(spark, tables):
+    """A hostile shapes doc using reflect()/java_method() in
+    sh:targetQuery is rejected at compile-validate time."""
+    hostile = """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ;
+  sh:targetQuery "reflect('java.lang.System', 'getenv', uri) IS NOT NULL" ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    shapes = compile_shapes(hostile)
+    v = ShaclValidator(tables)
+    with pytest.raises(ValueError, match="Forbidden function"):
+        v.validate(shapes).count()
