@@ -171,7 +171,8 @@ def q_kg_typed_literals(spark: SparkSession, sf: str) -> DataFrame:
     return vals.join(times, "event_id")
 
 
-def q_kg_shacl(spark: SparkSession, sf: str) -> DataFrame:
+def _shacl_graph(spark: SparkSession, sf: str):
+    """Shared graph + shapes for the kg_shacl / kg_shacl_delta oracles."""
     docs = _docs(spark, sf)
     subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
     content = F.concat(
@@ -201,7 +202,31 @@ v:DocShape a sh:NodeShape ; sh:targetClass v:Document ;
   sh:property [ sh:path v:nchars ; sh:maxInclusive 400 ] .
 """
     )
+    return docs, tables, shapes
+
+
+def q_kg_shacl(spark: SparkSession, sf: str) -> DataFrame:
+    _, tables, shapes = _shacl_graph(spark, sf)
     res = ShaclValidator(tables).validate(shapes)
+    return res.select(
+        "focus_node",
+        F.element_at(F.split("property_shape", "#"), -1).alias("component"),
+        "result_path",
+    )
+
+
+def q_kg_shacl_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-scoped validation (the validateTransaction analogue,
+    ValidationProcedures.java:155-170): only the delta node set — docs
+    with doc_id%7==0, standing in for the nodes touched by one
+    incremental run — is validated. The node_set semi-join sits BELOW
+    the cardinality aggregations (tests/test_plans.py locks the plan), so
+    a 100-node delta never pays a full-graph aggregation."""
+    docs, tables, shapes = _shacl_graph(spark, sf)
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit(DOC), F.col("doc_id").cast("string")).alias("uri")
+    )
+    res = ShaclValidator(tables).validate_delta(shapes, delta)
     return res.select(
         "focus_node",
         F.element_at(F.split("property_shape", "#"), -1).alias("component"),
@@ -544,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_cc": q_kg_sameas_cc,
         "kg_typed_literals": q_kg_typed_literals,
         "kg_shacl": q_kg_shacl,
+        "kg_shacl_delta": q_kg_shacl_delta,
         "kg_export_nt": q_kg_export_nt,
         "kg_export_ttl": q_kg_export_ttl,
         "kg_export_trig": q_kg_export_trig,
@@ -792,6 +818,14 @@ UNION ALL
 SELECT '{DOC}' || doc_id, 'MaxInclusiveConstraintComponent', '{VOC}nchars'
 FROM documents WHERE n_chars > 400
 """
+    out["kg_shacl_delta"] = f"""
+SELECT '{DOC}' || doc_id AS focus_node, 'MinCountConstraintComponent' AS component,
+       '{VOC}long_text' AS result_path
+FROM documents WHERE n_chars < 150 AND doc_id % 7 = 0
+UNION ALL
+SELECT '{DOC}' || doc_id, 'MaxInclusiveConstraintComponent', '{VOC}nchars'
+FROM documents WHERE n_chars > 400 AND doc_id % 7 = 0
+"""
     out["kg_export_nt"] = f"""
 SELECT '<{DOC}' || doc_id || '> <{RDFT}> <{VOC}Document> .' AS line FROM documents
 UNION ALL SELECT '<{DOC}' || doc_id || '> <{VOC}lang> "' || lang || '" .' FROM documents
@@ -841,11 +875,9 @@ SELECT vec_id, {_lsh_bucket_sql('v', 8, band=0)} AS bucket FROM e
     out["ann_ivf"] = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), p AS (
-  SELECT greatest(count(*) // 16, 1) AS stride FROM e
 ), c AS (
-  SELECT vec_id // stride AS centroid_id, v AS cvec
-  FROM e, p WHERE vec_id % stride = 0 AND vec_id / stride < 16
+  SELECT vec_id AS centroid_id, v AS cvec
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
 ), scored AS (
   SELECT e.vec_id, c.centroid_id,
          floor(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),

@@ -328,3 +328,115 @@ def test_inference_closure(spark):
         nodes, inference.transitive_closure(edges), "Animal"
     ).toPandas()
     assert sorted(got.uri) == ["u1", "u2"]
+
+
+def test_ivf_centroids_non_dense_ids(spark, emb):
+    """ADVICE r2: centroid seeding must not assume dense 0..n-1 ids —
+    sparse/offset ids yield a full-sized centroid set and a complete
+    assignment (the old `id % stride` derivation silently returned an
+    EMPTY set here)."""
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 1000 + 7)
+    cents = similarity.ivf_centroids(sparse, n_centroids=8)
+    assert cents.count() == 8
+    assign = similarity.ivf_assign(sparse, n_centroids=8)
+    assert assign.count() == sparse.count()
+    assert assign.filter(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_ivf_lloyd_refinement_matches_numpy(spark, emb):
+    """One Lloyd iteration in Spark (assign → per-dim avg → coalesce)
+    equals the numpy k-means step from the same md5-seeded centroids."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    import hashlib
+
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    seed_idx = order[:8]
+    C = X[seed_idx]
+    seed_ids = ids[seed_idx]
+    # numpy Lloyd step with the engine's tie-break (dist asc, centroid_id asc)
+    d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    d = np.floor(d * 10000 + 0.5) / 10000  # round4, as the engine scores
+    key = np.argsort(seed_ids, kind="stable")
+    best = np.full(len(X), -1)
+    for r in range(len(X)):
+        cand = np.where(d[r] == d[r].min())[0]
+        best[r] = cand[np.argmin(seed_ids[cand])]
+    C1 = np.stack(
+        [X[best == c].mean(axis=0) if (best == c).any() else C[c] for c in range(8)]
+    )
+    got = (
+        similarity.ivf_centroids(emb, n_centroids=8, refine_iters=1)
+        .toPandas()
+        .sort_values("centroid_id")
+    )
+    want = {int(seed_ids[c]): C1[c] for c in range(8)}
+    assert sorted(got.centroid_id) == sorted(want.keys())
+    for _, row in got.iterrows():
+        np.testing.assert_allclose(
+            np.array(row.cvec), want[int(row.centroid_id)], rtol=1e-9, atol=1e-9
+        )
+
+
+def test_ivf_refined_recall_not_worse(spark, emb):
+    """Refined centroids keep ivf_topk recall at least as good as the
+    unrefined assignment on the sf test corpus."""
+    bf = similarity.brute_force_topk(emb, [0], k=20).toPandas()
+    base = similarity.ivf_topk(emb, [0], k=10, n_centroids=8, n_probe=4).toPandas()
+    ref = similarity.ivf_topk(
+        emb, [0], k=10, n_centroids=8, n_probe=4, refine_iters=2
+    ).toPandas()
+    hits = lambda df: len(set(df.neighbor_id) & set(bf.neighbor_id))  # noqa: E731
+    assert hits(ref) >= max(1, hits(base) - 2)  # refinement must not collapse recall
+
+
+def test_png_numpy_kernel_matches_python_reference():
+    """The vectorized unfilter (cumsum Sub, vector Up) must be
+    bit-identical to the pure-Python reference on every filter type and on
+    multi-row chains where each row's reconstruction feeds the next."""
+    import struct
+    import zlib
+
+    from neosemantics_spark.operators.multimodal import (
+        _paeth,
+        png_decode,
+        png_decode_py,
+    )
+
+    w, h = 17, 10  # non-multiple-of-anything width, rows cycle all 5 filters
+    pix = [[[(x * 31 + y * 57 + c * 101 + x * y) % 256 for c in range(3)] for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for y in range(h):
+        line = [pix[y][x][c] for x in range(w) for c in range(3)]
+        ftype = (y * 3) % 5
+        raw.append(ftype)
+        for i, v in enumerate(line):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            cc = prev[i - 3] if i >= 3 else 0
+            pred = [0, a, b, (a + b) // 2, _paeth(a, b, cc)][ftype]
+            raw.append((v - pred) & 0xFF)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(png) == png_decode_py(png)
+    # and the decode is actually correct, not just self-consistent
+    dw, dh, means = png_decode(png)
+    for c in range(3):
+        exp = sum(pix[y][x][c] for x in range(w) for y in range(h)) / (w * h)
+        assert abs(means[c] - exp) < 1e-9
