@@ -261,12 +261,14 @@ def q_kg_export_ttl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kg_export_trig(spark: SparkSession, sf: str) -> DataFrame:
-    """TriG writer round trip: deterministic quads (named graphs per
-    doc_id%3 + default-graph rows) → TriG blocks → reparsed by the TriG
-    parser with the graph column preserved."""
+    """TriG / TriG-star writer round trip: deterministic quads (named
+    graphs per doc_id%3 + default-graph rows + quoted-triple-subject star
+    rows for doc_id%5) → TriG blocks → reparsed by the TriG-star parser
+    with the graph column AND the quoted triple preserved."""
     from neosemantics_spark.operators.export import to_trig_blocks
 
     docs = _docs(spark, sf)
+    nullsspo = F.lit(None).cast("array<string>").alias("sspo")
     base = docs.select(
         F.concat(F.lit(DOC), F.col("doc_id").cast("string")).alias("subject"),
         F.col("lang").alias("object"),
@@ -281,6 +283,7 @@ def q_kg_export_trig(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(XSD + "string").alias("datatype"),
         F.lit(None).cast("string").alias("lang"),
         F.concat(F.lit("http://example.org/graph/"), (F.col("doc_id") % 3).cast("string")).alias("graph"),
+        nullsspo,
     )
     default_g = base.select(
         "subject",
@@ -290,8 +293,19 @@ def q_kg_export_trig(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(XSD + "string").alias("datatype"),
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("graph"),
+        nullsspo,
     )
-    blocks = to_trig_blocks(named.unionByName(default_g))
+    star = base.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit(None).cast("string").alias("_nosubj"),
+        F.lit(VOC + "certainty").alias("predicate"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")).alias("object"),
+        F.lit(True).alias("is_literal"),
+        F.lit(XSD + "string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+        F.concat(F.lit("http://example.org/graph/"), (F.col("doc_id") % 3).cast("string")).alias("graph"),
+        F.array(F.col("subject"), F.lit(VOC + "same"), F.col("subject")).alias("sspo"),
+    ).withColumnRenamed("_nosubj", "subject")
+    blocks = to_trig_blocks(named.unionByName(default_g).unionByName(star))
     src = blocks.select(
         F.lit("x").alias("repo"),
         F.lit("block.trig").alias("path"),
@@ -300,7 +314,8 @@ def q_kg_export_trig(spark: SparkSession, sf: str) -> DataFrame:
         F.col("line").alias("content"),
     )
     return extract_triples(src).select(
-        "subject", "predicate", "object", "is_literal", "graph"
+        "subject", "predicate", "object", "is_literal", "graph",
+        F.array_join("sspo", " ").alias("star"),
     )
 
 
@@ -479,6 +494,32 @@ def q_skos_route(spark: SparkSession, sf: str) -> DataFrame:
     return inference.route_skos(trip).distinct().select("src", "rel", "dst")
 
 
+def q_skos_xl(spark: SparkSession, sf: str) -> DataFrame:
+    """SKOS-XL two-leg label indirection end-to-end: each doc is a concept
+    with a direct skos:prefLabel AND a reified skosxl:altLabel → labelNode
+    → skosxl:literalForm chain; skos_label_props resolves both into
+    (concept, prop, value) rows (SkosImporter.java:144-167)."""
+    docs = _docs(spark, sf)
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    skosxl = "http://www.w3.org/2008/05/skos-xl#"
+    con = F.concat(F.lit("<http://example.org/concept/"), F.col("doc_id").cast("string"), F.lit(">"))
+    xl = F.concat(F.lit("<http://example.org/xlabel/"), F.col("doc_id").cast("string"), F.lit(">"))
+    content = F.concat(
+        con, F.lit(f' <{skos}prefLabel> "pref-'), F.col("doc_id").cast("string"), F.lit('" .\n'),
+        con, F.lit(f" <{skosxl}altLabel> "), xl, F.lit(" .\n"),
+        xl, F.lit(f' <{skosxl}literalForm> "'), F.col("lang"), F.lit('" .\n'),
+    )
+    src = docs.select(
+        F.lit("org/skos").alias("repo"),
+        F.concat(F.lit("c/"), F.col("doc_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    t = extract_triples(src)
+    return inference.skos_label_props(t).select("concept", "prop", "value")
+
+
 def q_kg_json_tree(spark: SparkSession, sf: str) -> DataFrame:
     """S6 JSON-as-tree importer over deterministic JSON derived from
     documents; the oracle recomputes the path-derived skolem bnode ids
@@ -592,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inference_nodes": q_inference_nodes,
         "inference_categories": q_inference_categories,
         "skos_route": q_skos_route,
+        "skos_xl": q_skos_xl,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
         "kg_json_tree": q_kg_json_tree,
@@ -767,12 +809,18 @@ FROM t
     )
     out["kg_export_trig"] = f"""
 SELECT '{DOC}' || doc_id AS subject, '{VOC}lang' AS predicate, lang AS object,
-       true AS is_literal, 'http://example.org/graph/' || (doc_id % 3) AS graph
+       true AS is_literal, 'http://example.org/graph/' || (doc_id % 3) AS graph,
+       CAST(NULL AS VARCHAR) AS star
 FROM documents
 UNION ALL
 SELECT '{DOC}' || doc_id, '{VOC}nchars', CAST(n_chars AS VARCHAR),
-       true, CAST(NULL AS VARCHAR)
+       true, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM documents
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), '{VOC}certainty', 'c' || (doc_id % 3),
+       true, 'http://example.org/graph/' || (doc_id % 3),
+       '{DOC}' || doc_id || ' {VOC}same {DOC}' || doc_id
+FROM documents WHERE doc_id % 5 = 0
 """
     out["kg_triples_turtle"] = f"""
 SELECT '{DOC}' || doc_id AS subject, '{RDFT}' AS predicate, '{VOC}Document' AS object,
@@ -945,6 +993,16 @@ JOIN region ON n_regionkey = r_regionkey
     out["skos_route"] = """
 SELECT DISTINCT n_name AS src, 'SCO' AS rel, r_name AS dst
 FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    out["skos_xl"] = """
+SELECT 'http://example.org/concept/' || doc_id AS concept,
+       'http://www.w3.org/2004/02/skos/core#prefLabel' AS prop,
+       'pref-' || doc_id AS value
+FROM documents
+UNION ALL
+SELECT 'http://example.org/concept/' || doc_id,
+       'http://www.w3.org/2008/05/skos-xl#altLabel', lang
+FROM documents
 """
     out["multimodal_stats"] = """
 WITH m AS (

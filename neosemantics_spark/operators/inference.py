@@ -73,6 +73,43 @@ def route_skos(triples: DataFrame) -> DataFrame:
     return broader.unionByName(narrower).unionByName(related)
 
 
+SKOSXL = "http://www.w3.org/2008/05/skos-xl#"
+_SKOS_LABELS = ("prefLabel", "altLabel", "hiddenLabel")
+
+
+def skos_label_props(triples: DataFrame) -> DataFrame:
+    """SKOS label → concept-property routing, including the SKOS-XL
+    two-leg indirection (SkosImporter.java:144-167): a direct
+    skos:prefLabel/altLabel/hiddenLabel literal becomes a property of the
+    concept, and the reified `concept --skosxl:xLabel--> labelNode
+    --skosxl:literalForm--> "text"` pattern resolves through ONE equi-join
+    on the label node (first leg `setIndirectPropFirstLeg`, second leg
+    `setIndirectPropSecondLeg`) to the same concept-property shape.
+    Returns (concept, prop, value) with prop = the ORIGINAL predicate IRI
+    (skos: vs skosxl: stay distinct, as the reference keys props by
+    predicate). The label-node join key is the bnode/IRI of the reified
+    label — high cardinality, uniform: a plain shuffle join scales."""
+    direct = triples.filter(
+        F.col("predicate").isin([SKOS + x for x in _SKOS_LABELS]) & F.col("is_literal")
+    ).select(
+        F.col("subject").alias("concept"),
+        F.col("predicate").alias("prop"),
+        F.col("object").alias("value"),
+    )
+    leg1 = triples.filter(
+        F.col("predicate").isin([SKOSXL + x for x in _SKOS_LABELS]) & ~F.col("is_literal")
+    ).select(
+        F.col("subject").alias("concept"),
+        F.col("predicate").alias("prop"),
+        F.col("object").alias("label_node"),
+    )
+    leg2 = triples.filter(
+        (F.col("predicate") == SKOSXL + "literalForm") & F.col("is_literal")
+    ).select(F.col("subject").alias("label_node"), F.col("object").alias("value"))
+    xl = leg1.join(leg2, "label_node").select("concept", "prop", "value")
+    return direct.unionByName(xl)
+
+
 def transitive_closure(edges: DataFrame, rel: str = "SCO") -> DataFrame:
     """(descendant, ancestor) closure of the (tiny) ontology DAG.
     Driver-side BFS over the collected edge list (metadata scale), returned

@@ -67,3 +67,37 @@ def test_assemble_restrictions(spark, triples):
     assert r["kind"] == "cardinality"
     assert r["props"]["minCardinality"] == "1"
     assert r["dst"] == "http://example.org/onto#basedOn"  # cardinality → onProperty target
+
+
+def test_skos_label_props_xl_two_leg(spark):
+    """SKOS-XL indirection: direct skos labels pass through; reified
+    skosxl labels resolve through literalForm; dangling halves (a label
+    node with no literalForm, a literalForm with no referring concept)
+    produce nothing (SkosImporter.java:144-167)."""
+    import pandas as pd
+
+    from neosemantics_spark.operators.inference import skos_label_props
+    from neosemantics_spark.sources.parse import extract_triples
+
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    xl = "http://www.w3.org/2008/05/skos-xl#"
+    nt = f"""<http://e/c1> <{skos}prefLabel> "direct" .
+<http://e/c1> <{xl}altLabel> <http://e/lab1> .
+<http://e/lab1> <{xl}literalForm> "alt-via-xl" .
+<http://e/c2> <{xl}hiddenLabel> <http://e/lab2> .
+<http://e/c3> <{xl}prefLabel> <http://e/dangling> .
+<http://e/orphan> <{xl}literalForm> "unreferenced" .
+"""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "s.nt", "commit": "c" * 40, "lang": "N-Triples", "content": nt}]
+        )
+    )
+    got = sorted(
+        (r.concept, r.prop.split("#")[-1], r.value)
+        for r in skos_label_props(extract_triples(src)).collect()
+    )
+    assert got == [
+        ("http://e/c1", "altLabel", "alt-via-xl"),
+        ("http://e/c1", "prefLabel", "direct"),
+    ], got
