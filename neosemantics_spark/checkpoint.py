@@ -24,14 +24,17 @@ tables — the dataflow (anti-join, append-after-write) is identical.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import time
-from dataclasses import dataclass
-from typing import Optional
+from dataclasses import asdict, dataclass
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .config import GraphConfig
 from .sources.parse import extract_triples
 
 
@@ -40,6 +43,23 @@ def _table(spark: SparkSession, path: str) -> Optional[DataFrame]:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — table does not exist yet
         return None
+
+
+def config_fingerprint(
+    cfg: Optional[GraphConfig] = None, mapping: Optional[Dict[str, str]] = None
+) -> str:
+    """Deterministic 16-hex digest of (GraphConfig, vocabulary mapping) —
+    the lineage record of WHICH semantics produced a run's triples. Two
+    runs over identical inputs but different configs must not share
+    checkpoint rows: SHORTEN vs KEEP, multival mode, or a changed MAP
+    vocabulary all change the emitted graph."""
+    payload = {
+        "cfg": asdict(cfg) if cfg is not None else None,
+        "mapping": sorted((mapping or {}).items()),
+    }
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
 
 
 @dataclass
@@ -105,7 +125,28 @@ class ImportCheckpoint:
             if name.startswith("run_id=") and name.split("=", 1)[1] not in committed:
                 shutil.rmtree(os.path.join(self.triples_root, name), ignore_errors=True)
 
-    def run(self, src_files: DataFrame, run_id: Optional[str] = None) -> IncrementalResult:
+    def _check_layout(self, done: DataFrame) -> None:
+        """Reject checkpoint directories written by incompatible layouts
+        with a clear error instead of a confusing partition-discovery or
+        anti-join failure (ADVICE r2): v1 wrote flat files (run_id as a
+        data column), v2 partitioned by run_id, v3 added config_hash."""
+        missing = [c for c in ("run_id", "config_hash") if c not in done.columns]
+        if missing:
+            raise ValueError(
+                f"Incompatible checkpoint layout at {self.processed_path}: "
+                f"missing column(s) {missing}. This directory was written "
+                "by an older checkpoint version — migrate it (add the "
+                "missing columns / repartition by run_id) or point the "
+                "ImportCheckpoint at a fresh root."
+            )
+
+    def run(
+        self,
+        src_files: DataFrame,
+        run_id: Optional[str] = None,
+        cfg: Optional[GraphConfig] = None,
+        mapping: Optional[Dict[str, str]] = None,
+    ) -> IncrementalResult:
         """Process only files not yet in the checkpoint; write triples for
         this run under triples/run_id=<id>/, then commit lineage +
         processed rows.
@@ -116,11 +157,22 @@ class ImportCheckpoint:
         overwrite, lineage/processed dynamic-partition overwrite keyed by
         run_id) replaces rather than duplicates. Orphan run directories
         from a crashed run whose todo set has since changed are pruned
-        before processing."""
-        src = src_files.withColumn("content_sha", F.sha2("content", 256))
+        before processing.
+
+        Config lineage: the (cfg, mapping) fingerprint is part of the
+        processed-file key AND every lineage/metrics row — a re-run with a
+        changed config is a DIFFERENT todo set (files reprocess under the
+        new semantics) and the ledger records which config produced each
+        run (the reference stores this as the `_GraphConfig` singleton the
+        import transaction reads — GraphConfig.java:88-157)."""
+        fp = config_fingerprint(cfg, mapping)
+        src = src_files.withColumn("content_sha", F.sha2("content", 256)).withColumn(
+            "config_hash", F.lit(fp)
+        )
         done = self.processed()
-        key = ["repo", "path", "commit", "content_sha"]
+        key = ["repo", "path", "commit", "content_sha", "config_hash"]
         if done is not None:
+            self._check_layout(done)
             todo = src.join(done.select(*key), key, "left_anti")
         else:
             todo = src
@@ -133,11 +185,11 @@ class ImportCheckpoint:
         )
         if n_new == 0:
             self.spark.createDataFrame(
-                [(run_id, 0, n_total, 0, 0)],
-                "run_id string, files_processed long, files_skipped long, triples long, parse_errors long",
+                [(run_id, 0, n_total, 0, 0, fp)],
+                "run_id string, files_processed long, files_skipped long, triples long, parse_errors long, config_hash string",
             ).write.mode("append").parquet(self.metrics_path)
             return IncrementalResult(run_id, 0, n_total, None)
-        triples = extract_triples(todo.drop("content_sha"))
+        triples = extract_triples(todo.drop("content_sha", "config_hash"))
         out_dir = os.path.join(self.triples_root, f"run_id={run_id}")
         triples.write.mode("overwrite").parquet(out_dir)
         written = self.spark.read.parquet(out_dir)
@@ -149,6 +201,7 @@ class ImportCheckpoint:
                 F.count(F.when(F.col("parse_error").isNull(), 1)).alias("n_triples"),
                 F.max(F.col("parse_error").isNotNull().cast("int")).alias("had_error"),
             )
+            .withColumn("config_hash", F.lit(fp))
             .withColumn("run_id", F.lit(run_id))
         )
         (
@@ -168,7 +221,7 @@ class ImportCheckpoint:
         n_triples = written.filter(F.col("parse_error").isNull()).count()
         n_errors = written.filter(F.col("parse_error").isNotNull()).count()
         self.spark.createDataFrame(
-            [(run_id, n_new, n_total - n_new, n_triples, n_errors)],
-            "run_id string, files_processed long, files_skipped long, triples long, parse_errors long",
+            [(run_id, n_new, n_total - n_new, n_triples, n_errors, fp)],
+            "run_id string, files_processed long, files_skipped long, triples long, parse_errors long, config_hash string",
         ).write.mode("append").parquet(self.metrics_path)
         return IncrementalResult(run_id, n_new, n_total - n_new, written)

@@ -87,14 +87,25 @@ def connected_components(
 
     spark = edges.sparkSession
     _STATS_RESET_EVERY = 4
-    _scratch = {"dir": scratch_dir, "n": 0}
+    _scratch = {"dir": scratch_dir, "n": 0, "owned": False}
 
     def _parquet_pin(df: DataFrame) -> DataFrame:
         if _scratch["dir"] is None:
             _scratch["dir"] = _tempfile.mkdtemp(prefix="ns_cc_pin_")
+            _scratch["owned"] = True
         path = _os.path.join(_scratch["dir"], f"pin{_scratch['n']}")
         _scratch["n"] += 1
         df.write.mode("overwrite").parquet(path)
+        # bound scratch disk (ADVICE r2: pins accumulated unbounded): by
+        # the time pin N is WRITTEN, every live DataFrame roots at the
+        # latest pins/localCheckpoints — only the last 3 pins can still be
+        # referenced (comp + ec of the current and previous reset round)
+        import shutil as _shutil
+
+        for k in range(max(0, _scratch["n"] - 3)):
+            stale = _os.path.join(_scratch["dir"], f"pin{k}")
+            if _os.path.isdir(stale):
+                _shutil.rmtree(stale, ignore_errors=True)
         return spark.read.parquet(path)
 
     def _pin(df: DataFrame, reset_stats: bool = False) -> DataFrame:
@@ -175,6 +186,14 @@ def connected_components(
         _gc.collect()
         if done:
             break
+    if _scratch["n"]:
+        # the result may still root on parquet pins — re-root it onto
+        # block storage, then the scratch dir (if we created it) can go
+        comp = comp.localCheckpoint(eager=True)
+        if _scratch["owned"]:
+            import shutil as _shutil
+
+            _shutil.rmtree(_scratch["dir"], ignore_errors=True)
     return comp
 
 

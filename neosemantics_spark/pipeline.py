@@ -34,6 +34,7 @@ class ImportResult:
     triples_parsed: int
     triples_loaded: int
     parse_errors: int
+    config_hash: str = ""  # fingerprint of (cfg, mapping) — lineage record
 
 
 def import_rdf(
@@ -64,6 +65,8 @@ def import_rdf(
         t = t.cache()
     tables = materialize(t, cfg, cache_intermediate=cache_triples)
     loaded = t.count()  # transform_triples already drops quarantined rows
+    from .checkpoint import config_fingerprint
+
     return ImportResult(
         tables=tables,
         triples=t,
@@ -71,4 +74,5 @@ def import_rdf(
         triples_parsed=triples_parsed,
         triples_loaded=loaded,
         parse_errors=parse_errors,
+        config_hash=config_fingerprint(cfg, mapping),
     )

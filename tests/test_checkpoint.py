@@ -126,3 +126,46 @@ def test_touched_nodes_delta_validation(spark, tmp_path):
     got = sorted(r.uri for r in touched_nodes(cp, r2.run_id).collect())
     # run 2 processed only f2: subject a + resource object z, NOT b from run 1
     assert got == ["http://e/a", "http://e/z"], got
+
+
+def test_config_change_reprocesses_and_is_recorded(spark, tmp_path):
+    """The (cfg, mapping) fingerprint is part of the processed-file key:
+    a re-run with a changed config reprocesses the same files under the
+    new semantics, and lineage/metrics record which config produced each
+    run (VERDICT r2 item 8)."""
+    from neosemantics_spark.config import KEEP, SHORTEN, GraphConfig
+
+    cp = ImportCheckpoint(spark, str(tmp_path / "ckpt6"))
+    src = _src(spark, [("f1.nt", "c1", NT1)])
+    r1 = cp.run(src, cfg=GraphConfig(handle_vocab_uris=KEEP))
+    assert r1.new_files == 1
+    # same config → nothing to do
+    r2 = cp.run(src, cfg=GraphConfig(handle_vocab_uris=KEEP))
+    assert r2.new_files == 0
+    # changed config → same file is new again
+    r3 = cp.run(src, cfg=GraphConfig(handle_vocab_uris=SHORTEN))
+    assert r3.new_files == 1 and r3.run_id != r1.run_id
+    lin = cp.lineage().toPandas()
+    assert lin.config_hash.nunique() == 2
+    met = cp.metrics().toPandas()
+    assert set(met[met.files_processed > 0].config_hash) == set(lin.config_hash)
+
+
+def test_legacy_checkpoint_layout_rejected(spark, tmp_path):
+    """A v1/v2 checkpoint directory (missing config_hash / run_id columns)
+    fails fast with a clear incompatibility error, not a partition or
+    anti-join failure (ADVICE r2)."""
+    import pytest as _pytest
+
+    root = tmp_path / "ckpt7"
+    cp = ImportCheckpoint(spark, str(root))
+    # fabricate a legacy flat processed_files table (no run_id partition,
+    # no config_hash column)
+    legacy = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "f1.nt", "commit": "c1", "content_sha": "x" * 64}]
+        )
+    )
+    legacy.write.parquet(cp.processed_path)
+    with _pytest.raises(ValueError, match="Incompatible checkpoint layout"):
+        cp.run(_src(spark, [("f1.nt", "c1", NT1)]))
