@@ -344,6 +344,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf), num_hashes=8, bands=4).select("a", "b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH pair graph → connected
+    components → (doc_id, cluster_id = min doc of the component);
+    singletons are their own cluster. The canonical-doc selection step of
+    a corpus dedup pass, oracle-checked via a recursive-CTE closure."""
+    docs = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    return dedup.near_dup_clusters(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf)).select("doc_id", "simhash")
 
@@ -618,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_kept": q_dedup_exact_kept,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_topk": q_ann_topk,
@@ -713,9 +724,10 @@ SELECT doc_id, {bit_concat} AS simhash FROM bits
 """
 
 
-def _minhash_sql() -> str:
-    return f"""
-WITH words AS (
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in `pairs(a, b)` — used by the pairwise
+    oracle and (inside WITH RECURSIVE) the clustering oracle."""
+    return f"""words AS (
   SELECT doc_id, {_WORDS} AS w FROM documents
 ), sh AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM words
@@ -727,9 +739,34 @@ WITH words AS (
 ), band AS (
   SELECT doc_id, seed % 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
   FROM sig GROUP BY doc_id, seed % 4
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT a, b FROM pairs"
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the pair graph via recursive CTE (set-union
+    recursion terminates), component id = min reachable doc id."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
 )
-SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM band l JOIN band r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+SELECT d.doc_id, CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -895,6 +932,7 @@ SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
     out["dedup_minhash_lsh"] = _minhash_sql()
+    out["dedup_clusters"] = _dedup_clusters_sql()
     out["dedup_simhash"] = _simhash_sql()
     out["dedup_jaccard"] = _jaccard_sql()
     out["ann_topk"] = """

@@ -241,3 +241,39 @@ def simhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("qb"),
     ).select("doc_id", F.col("qb.q").alias("q"), F.col("qb.band").alias("band"))
     return bucket_pairs(quarters, ["q", "band"], "doc_id")
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: pairwise candidates → transitive groups.
+
+    Pairwise dedup alone under-deletes: if A~B and B~C, A and C belong to
+    one group even when they never share a bucket. This runs the engine's
+    connected-components operator (operators/cc.py — star contraction +
+    pointer jumping, skew-hardened at 11M edges) over the verified pair
+    graph and assigns every doc `cluster_id` = the smallest doc id in its
+    component; docs in no pair are their own singleton cluster. Keeping
+    `doc_id == cluster_id` rows is then the canonical-document selection
+    of a training-corpus dedup pass.
+
+    Ids are zero-padded to 20 digits before entering CC (component ids are
+    lexicographic mins; padding makes string order = numeric order), and
+    the cluster map is joined back with a plain equi-join on doc id —
+    uniform key, scales."""
+    pad = F.format_string("%020d", F.col("a")), F.format_string("%020d", F.col("b"))
+    from .cc import connected_components
+
+    edges = pairs.select(pad[0].alias("a"), pad[1].alias("b"))
+    comp = connected_components(edges)
+    m = comp.select(
+        F.col("uri").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .select(
+            id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+        )
+    )

@@ -440,3 +440,17 @@ def test_png_numpy_kernel_matches_python_reference():
     for c in range(3):
         exp = sum(pix[y][x][c] for x in range(w) for y in range(h)) / (w * h)
         assert abs(means[c] - exp) < 1e-9
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land A, B, C in ONE cluster (pairwise dedup alone
+    under-deletes); untouched docs are singleton clusters."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": [2, 3]}))
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10}, got
