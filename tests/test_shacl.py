@@ -153,3 +153,44 @@ ex:S a sh:NodeShape ;
     v = ShaclValidator(tables)
     with pytest.raises(ValueError, match="Forbidden function"):
         v.validate(shapes).count()
+
+
+def test_shapes_store_roundtrip(spark, tables, tmp_path):
+    """n10s.validation.shacl.import.inline / listShapes / dropShapes
+    analogue (ValidationProcedures.java:57-117): import persists doc +
+    constraint listing; compiled() revalidates identically; drop clears."""
+    from neosemantics_spark.validation.store import ShapesStore
+
+    store = ShapesStore(spark, str(tmp_path / "ckpt"))
+    assert store.compiled() is None and store.list_shapes().empty
+    listing = store.import_shapes(SHAPES)
+    assert len(listing) >= 6  # minCount/maxCount/datatype x2/maxInclusive/class/closed...
+    params = set(listing.param)
+    assert {"min_count", "max_count", "datatype", "max_inclusive", "class_constraint", "closed"} <= params
+    # Person name minCount 1 AND Robot model minCount 0 both list
+    assert set(listing[listing.param == "min_count"].target) == {EX + "Person", EX + "Robot"}
+    # stored shapes validate exactly like freshly compiled ones
+    v = ShaclValidator(tables)
+    got = sorted(
+        (r.focus_node, r.property_shape.split("#")[-1])
+        for r in v.validate(store.compiled()).toPandas().itertuples()
+    )
+    want = sorted(
+        (r.focus_node, r.property_shape.split("#")[-1])
+        for r in v.validate(compile_shapes(SHAPES)).toPandas().itertuples()
+    )
+    assert got == want
+    # listShapes re-read from disk matches the returned listing
+    again = store.list_shapes()
+
+    def canon(df):
+        return sorted(tuple("" if v is None else str(v) for v in row) for row in df.values.tolist())
+
+    assert canon(again) == canon(listing)
+    store.drop_shapes()
+    assert store.compiled() is None and store.list_shapes().empty
+    # a malformed doc is rejected BEFORE anything is persisted
+    store.import_shapes(SHAPES)
+    with pytest.raises(Exception):
+        store.import_shapes("@prefix sh: <oops")
+    assert store.compiled() is not None  # previous shapes intact
