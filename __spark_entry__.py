@@ -403,6 +403,34 @@ def q_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return text.fingerprints(_docs(spark, sf)).select("doc_id", "exact_fp", "shingle_fp")
 
 
+def q_text_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window token chunking (20-token windows, 5-token overlap,
+    trailing partial kept) — map-only, partition-local."""
+    return text.chunk_documents(_docs(spark, sf), chunk_tokens=20, overlap=5)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus scrubbing: deterministic PII (email+URL per doc, IPv4 on
+    doc_id%3) injected into the text, then redacted with typed tokens and
+    per-kind match counts — pure regexp column expressions."""
+    docs = _docs(spark, sf)
+    did = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), did, F.lit("@example.com via https://ex.org/d/"), did,
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.redact_pii(injected).select(
+        "doc_id", "redacted", "n_emails", "n_urls", "n_ips"
+    )
+
+
 def q_events_window(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -638,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "text_chunks": q_text_chunks,
+        "pii_redact": q_pii_redact,
         "events_window": q_events_window,
         "iri_functions": q_iri_functions,
         "literal_functions": q_literal_functions,
@@ -995,6 +1025,39 @@ WITH words AS (
 SELECT doc_id, md5(array_to_string(w, ' ')) AS exact_fp,
        array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:4], '') AS shingle_fp
 FROM sh
+"""
+    out["text_chunks"] = f"""
+WITH w0 AS (
+  SELECT doc_id, list_filter({_WORDS}, t -> t <> '') AS w FROM documents
+), n AS (
+  SELECT doc_id, w, greatest(1, CAST(ceil((len(w) - 5) / 15.0) AS INT)) AS nc FROM w0
+), c AS (
+  SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(w[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ') AS chunk_text,
+       CAST(len(w[chunk_idx * 15 + 1 : chunk_idx * 15 + 20]) AS INT) AS n_tokens
+FROM c
+"""
+    _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PII_URL = r"https?://[^\s]+"
+    _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    out["pii_redact"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@example.com via https://ex.org/d/' || doc_id
+              || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.0.' || (doc_id % 256) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_URL}', '<URL>', 'g'),
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips
+FROM injected
 """
     out["events_window"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,

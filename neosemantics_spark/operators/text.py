@@ -112,3 +112,66 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 3, top: int =
         F.md5(norm).alias("exact_fp"),
         F.array_join(F.slice(hashes, 1, top), "").alias("shingle_fp"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window preparation step
+    of an LLM training pipeline. Windows of `chunk_tokens` tokens advance
+    by `chunk_tokens - overlap`; the trailing partial window is kept, and
+    an empty/short doc yields exactly one chunk. Returns
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Pure columnar narrow stage — tokenize → sequence → explode → slice,
+    no shuffle, no UDF: at 100 TB this is a map-only pass whose output
+    stays partition-local (chunks inherit the parent doc's partition)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    base = docs.select(id_col, _words(F.col(text_col)).alias("_toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("_toks") - F.lit(overlap)) / F.lit(step)).cast("int"),
+    )
+    ex = base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_idx") * step + F.lit(1), chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).alias("n_tokens"),
+    )
+
+
+# PII patterns shared with the DuckDB oracle (RE2/Java-compatible subset)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus scrubbing: emails / URLs / IPv4 literals replaced
+    with type tokens, with per-kind match counts for observability.
+    Order matters (emails before URLs would corrupt mailto-like URLs, so
+    URLs go first). Pure regexp_replace/regexp_count column expressions —
+    JVM-side, codegen, no UDF."""
+    redacted = F.col(text_col)
+    counts = {}
+    for kind in ("url", "email", "ip"):
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.regexp_count(F.col(text_col), F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return df.withColumn("redacted", redacted).withColumn(
+        "n_emails", counts["email"]
+    ).withColumn("n_urls", counts["url"]).withColumn("n_ips", counts["ip"])

@@ -454,3 +454,42 @@ def test_near_dup_clusters_transitive(spark):
         for r in dedup.near_dup_clusters(docs, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10}, got
+
+
+def test_chunk_documents_windows(spark):
+    """20/5 windows: step 15, trailing partial kept, short/empty docs give
+    exactly one chunk, and consecutive chunks overlap by `overlap`."""
+    toks = " ".join(f"t{i}" for i in range(35))  # 35 tokens -> 2 chunks
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [toks, "one two", ""]}
+        )
+    )
+    out = (
+        text.chunk_documents(docs, chunk_tokens=20, overlap=5)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.n_tokens) == [20, 20]  # 15..34 is a full window
+    c0, c1 = d1.chunk_text.tolist()
+    assert c0.split()[:1] == ["t0"] and c1.split()[:1] == ["t15"]
+    assert c0.split()[-5:] == c1.split()[:5]  # the 5-token overlap
+    assert list(out[out.doc_id == 2].n_tokens) == [2]
+    assert list(out[out.doc_id == 3].n_tokens) == [0]
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["mail a@b.co or see https://x.y/z?q=1 at 192.168.0.1 ok"],
+            }
+        )
+    )
+    r = text.redact_pii(df).toPandas().iloc[0]
+    assert r.redacted == "mail <EMAIL> or see <URL> at <IP> ok"
+    assert (r.n_emails, r.n_urls, r.n_ips) == (1, 1, 1)
