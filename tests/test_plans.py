@@ -152,3 +152,15 @@ ex:S a sh:NodeShape ; sh:targetClass ex:T ;
     assert "LeftSemi" in plan[first_agg:], (
         "node-set semi-join is not below the cardinality aggregation:\n" + plan[:1500]
     )
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """chunk_documents must stay a map-only pass — no Exchange in the
+    plan (chunks inherit the parent doc's partition at 100 TB)."""
+    from neosemantics_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(text.chunk_documents(docs, 20, 5))
+    assert "Exchange" not in plan, plan[:800]
+    plan2 = formatted_plan(text.redact_pii(docs))
+    assert "Exchange" not in plan2 and "BatchEvalPython" not in plan2
