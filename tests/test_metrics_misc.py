@@ -251,3 +251,14 @@ def test_micro_reasoner_categories_and_rels(spark):
     assert both.direction.tolist() == ["<"]
     none_in = get_rels(edges, spo_clo, "related", node_uri="felix", rel_dir="<").toPandas()
     assert len(none_in) == 0
+
+
+def test_entry_contract_queries_all_have_oracles():
+    """Driver contract: every queries() entry has a DuckDB oracle (the
+    strong correctness gate) and no oracle is orphaned."""
+    import __spark_entry__ as e
+
+    q = set(e.queries().keys())
+    o = set(e.oracle_sql().keys())
+    assert o <= q, f"orphaned oracles: {o - q}"
+    assert q <= o, f"queries without oracle (weak rows-only check): {q - o}"
