@@ -558,6 +558,43 @@ def q_skos_xl(spark: SparkSession, sf: str) -> DataFrame:
     return inference.skos_label_props(t).select("concept", "prop", "value")
 
 
+def q_di_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-Importer model export (experimental.export.dimodel,
+    DIModelBuilder.java:32-110): deterministic ontology from nation/region
+    (5 classes, one object property + one datatype property per nation)
+    → LPG schema rows (element, name, src, dst)."""
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    region = spark.read.parquet(f"{sf}/region.parquet")
+    r2 = region.select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("rng_name")
+    )
+    j = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .join(r2, (nation.n_nationkey % 5) == F.col("k2"))
+    )
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    c = lambda col: F.concat(F.lit("<http://o/C_"), F.regexp_replace(col, " ", "_"), F.lit(">"))  # noqa: E731
+    nm = F.regexp_replace(F.col("n_name"), " ", "_")
+    content = F.concat(
+        c(F.col("r_name")), F.lit(f" <{RDFT}> <{owl}Class> .\n"),
+        F.lit("<http://o/rel_"), nm, F.lit(f"> <{RDFT}> <{owl}ObjectProperty> .\n"),
+        F.lit("<http://o/rel_"), nm, F.lit(f"> <{rdfs}domain> "), c(F.col("r_name")), F.lit(" .\n"),
+        F.lit("<http://o/rel_"), nm, F.lit(f"> <{rdfs}range> "), c(F.col("rng_name")), F.lit(" .\n"),
+        F.lit("<http://o/p_"), nm, F.lit(f"> <{RDFT}> <{owl}DatatypeProperty> .\n"),
+        F.lit("<http://o/p_"), nm, F.lit(f"> <{rdfs}domain> "), c(F.col("r_name")), F.lit(" .\n"),
+        F.lit("<http://o/p_"), nm, F.lit(f"> <{rdfs}range> <{XSD}string> .\n"),
+    )
+    src = j.select(
+        F.lit("org/onto").alias("repo"),
+        F.concat(F.lit("n/"), nm, F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    return inference.di_model(extract_triples(src))
+
+
 def q_kg_json_tree(spark: SparkSession, sf: str) -> DataFrame:
     """S6 JSON-as-tree importer over deterministic JSON derived from
     documents; the oracle recomputes the path-derived skolem bnode ids
@@ -675,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inference_categories": q_inference_categories,
         "skos_route": q_skos_route,
         "skos_xl": q_skos_xl,
+        "di_model": q_di_model,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
         "kg_json_tree": q_kg_json_tree,
@@ -1094,6 +1132,22 @@ JOIN region ON n_regionkey = r_regionkey
     out["skos_route"] = """
 SELECT DISTINCT n_name AS src, 'SCO' AS rel, r_name AS dst
 FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+    out["di_model"] = f"""
+WITH n AS (
+  SELECT replace(n_name, ' ', '_') AS nm, replace(r.r_name, ' ', '_') AS dom,
+         replace(r2.r_name, ' ', '_') AS rng
+  FROM nation
+  JOIN region r ON n_regionkey = r.r_regionkey
+  JOIN region r2 ON n_nationkey % 5 = r2.r_regionkey
+)
+SELECT 'node' AS element, 'http://o/C_' || replace(r_name, ' ', '_') AS name,
+       CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS dst
+FROM region
+UNION ALL
+SELECT 'relationship', 'http://o/rel_' || nm, 'http://o/C_' || dom, 'http://o/C_' || rng FROM n
+UNION ALL
+SELECT 'property', 'http://o/p_' || nm, 'http://o/C_' || dom, '{XSD}string' FROM n
 """
     out["skos_xl"] = """
 SELECT 'http://example.org/concept/' || doc_id AS concept,

@@ -316,3 +316,77 @@ def assemble_restrictions(triples: DataFrame) -> DataFrame:
     return links.join(assembled, "bnode", "inner").select(
         "src", "rel", target.alias("dst"), kind.alias("kind"), "props"
     )
+
+
+def di_model(
+    triples: DataFrame, max_nodes: int = 25, max_rels: int = 250
+) -> DataFrame:
+    """Data-Importer model export (n10s.experimental.export/stream.dimodel,
+    DataImporterProcedures.java:24-63 → DIModelBuilder.java:32-110): derive
+    the LPG SCHEMA an ontology implies — one node definition per class,
+    one relationship definition per object property (rdfs:domain →
+    rdfs:range, both ends restricted to known classes, exactly the
+    relsQuery filter), one property definition per datatype property
+    attached to its domain class. The reference's unionOf/schema.org
+    domainIncludes variants are out of scope (core rdfs:domain/range only).
+
+    Returns (element, name, src, dst) rows: element ∈ node |
+    relationship | property. The reference caps the model at 25 nodes /
+    250 rels and errors beyond (DIModelBuilder.java:25-26,88-104) because
+    the target is an interactive modeling tool — same guard here; the
+    counts are metadata-scale driver counts."""
+    edges, kinds = route_ontology(triples)
+    classes = kinds.filter(F.col("kind") == "Class").select("name").distinct()
+    n_classes = classes.count()
+    if n_classes > max_nodes:
+        raise RuntimeError(
+            f"The ontology contains a large number of classes ({n_classes}) "
+            "that would generate an unusable model. Pass a pre-filtered "
+            "ontology (the classList analogue)."
+        )
+    dom = edges.filter(F.col("rel") == "DOMAIN").select(
+        F.col("src").alias("pname"), F.col("dst").alias("dom")
+    )
+    rng = edges.filter(F.col("rel") == "RANGE").select(
+        F.col("src").alias("pname"), F.col("dst").alias("rng")
+    )
+    obj_props = kinds.filter(F.col("kind") == "Relationship").select(
+        F.col("name").alias("pname")
+    )
+    rels = (
+        obj_props.join(dom, "pname")
+        .join(rng, "pname")
+        .join(classes.withColumnRenamed("name", "dom"), "dom", "left_semi")
+        .join(classes.withColumnRenamed("name", "rng"), "rng", "left_semi")
+        .distinct()
+    )
+    if rels.count() > max_rels:
+        raise RuntimeError(
+            "The ontology contains a large number of relationships that "
+            "would generate an unusable model. Pass a pre-filtered ontology."
+        )
+    dt_props = (
+        kinds.filter(F.col("kind") == "Property")
+        .select(F.col("name").alias("pname"))
+        .join(dom, "pname")
+        .join(classes.withColumnRenamed("name", "dom"), "dom", "left_semi")
+        .join(rng, "pname", "left")
+        .distinct()
+    )
+    null_s = F.lit(None).cast("string")
+    nodes_out = classes.select(
+        F.lit("node").alias("element"), F.col("name"), null_s.alias("src"), null_s.alias("dst")
+    )
+    rels_out = rels.select(
+        F.lit("relationship").alias("element"),
+        F.col("pname").alias("name"),
+        F.col("dom").alias("src"),
+        F.col("rng").alias("dst"),
+    )
+    props_out = dt_props.select(
+        F.lit("property").alias("element"),
+        F.col("pname").alias("name"),
+        F.col("dom").alias("src"),
+        F.col("rng").alias("dst"),
+    )
+    return nodes_out.unionByName(rels_out).unionByName(props_out)

@@ -97,3 +97,70 @@ class Taxonomy:
         return spark.createDataFrame(
             rows, "a string, b string, path_sim double, lch_sim double, wup_sim double"
         )
+
+
+    # --------- path / explain / search (Similarities.java procedures)
+    def path(self, a: str, b: str) -> Optional[List[str]]:
+        """n10s.sim.pathsim.path analogue (shortestPathQuery,
+        Similarities.java:29-33): the actual node path a → LCA → b, or
+        None when the two nodes share no ancestor."""
+        l = self.lca(a, b)
+        if l is None:
+            return None
+        up = []
+        cur = a
+        while cur != l:
+            up.append(cur)
+            cur = self.parent[cur]
+        down = []
+        cur = b
+        while cur != l:
+            down.append(cur)
+            cur = self.parent[cur]
+        return up + [l] + list(reversed(down))
+
+    def explain(self, a: str, b: str) -> Optional[dict]:
+        """n10s.sim.pathsim.explain analogue: the path plus the numbers
+        the similarity is computed from."""
+        p = self.path(a, b)
+        if p is None:
+            return None
+        return {
+            "path": p,
+            "lca": self.lca(a, b),
+            "path_length": len(p) - 1,
+            "depth_a": self.depth(a),
+            "depth_b": self.depth(b),
+            "max_depth": self.max_depth,
+            "path_sim": self.path_sim(a, b),
+            "lch_sim": self.lch_sim(a, b),
+            "wup_sim": self.wup_sim(a, b),
+        }
+
+    def search(
+        self,
+        spark: SparkSession,
+        node: str,
+        measure: str = "path",
+        threshold_length: Optional[int] = None,
+    ) -> DataFrame:
+        """n10s.sim.pathsim.search / lchsim.search analogue
+        (shortestPathSearch, Similarities.java:41-44): every other
+        taxonomy node within `threshold_length` hops with its similarity,
+        ordered most-similar first. The taxonomy is driver-resident
+        metadata (same split as the reference's Cypher over the class
+        tree); the result is a DataFrame so callers can broadcast-join it
+        against billion-row fact tables."""
+        fn = {"path": self.path_sim, "lch": self.lch_sim, "wup": self.wup_sim}[measure]
+        rows = []
+        for other in sorted(self.nodes):
+            if other == node:
+                continue
+            p = self.path_length(node, other)
+            if p is None or (threshold_length is not None and p > threshold_length):
+                continue
+            rows.append((other, float(fn(node, other))))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return spark.createDataFrame(rows or [("", 0.0)], "node string, sim double").filter(
+            F.col("node") != ""
+        )

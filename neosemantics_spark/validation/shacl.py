@@ -557,6 +557,39 @@ class ShaclValidator:
             )
         return out
 
+    def view_checks(self, shapes: CompiledShapes, explain: bool = False) -> List[dict]:
+        """n10s.validation.shacl.viewCypher analogue
+        (ValidationProcedures.java:118-126 — the reference prints each
+        compiled Cypher violation query): enumerate the compiled DataFrame
+        checks; with explain=True each record carries the check's
+        Catalyst-OPTIMIZED plan string — the Spark equivalent of the
+        compiled query text, and the thing to eyeball when asking 'does
+        this constraint prune before it aggregates?'."""
+        out: List[dict] = []
+        for c in shapes.props:
+            for i, df in enumerate(self.check_property(c)):
+                rec = {
+                    "shape_id": c.shape_id,
+                    "target": c.target_class or ("query:" + (c.target_query or "")),
+                    "path": c.path,
+                    "check_idx": i,
+                }
+                if explain:
+                    rec["plan"] = df._jdf.queryExecution().optimizedPlan().toString()
+                out.append(rec)
+        for c in shapes.nodes:
+            for i, df in enumerate(self.check_node(c)):
+                rec = {
+                    "shape_id": c.shape_id,
+                    "target": c.target_class or ("query:" + (c.target_query or "")),
+                    "path": None,
+                    "check_idx": i,
+                }
+                if explain:
+                    rec["plan"] = df._jdf.queryExecution().optimizedPlan().toString()
+                out.append(rec)
+        return out
+
     def validate(self, shapes: CompiledShapes, node_set: Optional[DataFrame] = None) -> DataFrame:
         """Full-graph validation (ValidationProcedures.java:128-136); pass
         `node_set` (DataFrame[uri]) for the validateSet variant (:139-153).

@@ -262,3 +262,35 @@ def test_entry_contract_queries_all_have_oracles():
     o = set(e.oracle_sql().keys())
     assert o <= q, f"orphaned oracles: {o - q}"
     assert q <= o, f"queries without oracle (weak rows-only check): {q - o}"
+
+
+def test_taxonomy_path_explain_search(spark):
+    """pathsim.path / .explain / .search analogues over a small SCO tree."""
+    import pandas as pd
+
+    from neosemantics_spark.operators.similarity_taxonomy import Taxonomy
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"src": "cat", "rel": "SCO", "dst": "mammal"},
+                {"src": "dog", "rel": "SCO", "dst": "mammal"},
+                {"src": "mammal", "rel": "SCO", "dst": "animal"},
+                {"src": "bird", "rel": "SCO", "dst": "animal"},
+            ]
+        )
+    )
+    t = Taxonomy(edges)
+    assert t.path("cat", "dog") == ["cat", "mammal", "dog"]
+    assert t.path("cat", "bird") == ["cat", "mammal", "animal", "bird"]
+    assert t.path("cat", "cat") == ["cat"]
+    ex = t.explain("cat", "dog")
+    assert ex["lca"] == "mammal" and ex["path_length"] == 2
+    assert abs(ex["path_sim"] - 1 / 3) < 1e-9
+    s = t.search(spark, "cat", measure="path").toPandas()
+    assert list(s.node)[0] == "mammal"  # distance 1: the parent
+    # distance-2 tie (animal, dog) breaks lexicographically; bird is last
+    assert list(s.node)[1:3] == ["animal", "dog"] and list(s.node)[3] == "bird"
+    assert set(s.node) == {"dog", "mammal", "animal", "bird"}
+    s2 = t.search(spark, "cat", threshold_length=1).toPandas()
+    assert set(s2.node) == {"mammal"}

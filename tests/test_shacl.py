@@ -194,3 +194,18 @@ def test_shapes_store_roundtrip(spark, tables, tmp_path):
     with pytest.raises(Exception):
         store.import_shapes("@prefix sh: <oops")
     assert store.compiled() is not None  # previous shapes intact
+
+
+def test_view_checks(spark, tables):
+    """viewCypher analogue: one record per compiled check; explain=True
+    attaches the optimized plan text."""
+    shapes = compile_shapes(SHAPES)
+    v = ShaclValidator(tables)
+    recs = v.view_checks(shapes)
+    # PersonShape: name (min+max+datatype), age (datatype+maxIncl), knows
+    # (class x2) + datatype rel-check...; RobotShape closed
+    assert len(recs) >= 8
+    assert {r["shape_id"] for r in recs} == {EX + "PersonShape", EX + "RobotShape"}
+    with_plans = v.view_checks(shapes, explain=True)
+    assert all("Aggregate" in r["plan"] or "Join" in r["plan"] or "Filter" in r["plan"]
+               for r in with_plans)
