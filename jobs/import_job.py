@@ -52,6 +52,7 @@ def main() -> None:
         materialize,
         transform_triples,
         write_edges_partitioned,
+        write_node_props_partitioned,
     )
     from neosemantics_spark.operators.prefixes import build_prefix_map, collect_namespaces
 
@@ -86,7 +87,7 @@ def main() -> None:
     tables = materialize(t, cfg, cache_intermediate=True)
     tables.nodes.write.mode("overwrite").parquet(f"{args.output}/nodes")
     write_edges_partitioned(tables.edges, f"{args.output}/edges", cfg)
-    tables.node_props.write.mode("overwrite").parquet(f"{args.output}/node_props")
+    write_node_props_partitioned(tables.node_props, f"{args.output}/node_props", cfg)
 
     # per-batch delta validation (validateTransaction analogue): only the
     # nodes THIS run touched are validated, against shapes persisted in

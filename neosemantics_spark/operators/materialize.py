@@ -309,3 +309,25 @@ def write_edges_partitioned(
         .partitionBy("rel")
         .parquet(out_path)
     )
+
+
+def write_node_props_partitioned(
+    node_props: DataFrame, out_path: str, cfg: GraphConfig, n_buckets: int | None = None
+) -> None:
+    """Long-form property sink, partitioned by prop with the same
+    skew-aware salting as the edge writer (a hot property — rdfs:label,
+    schema:name — dominates real RDF exactly like a hot predicate).
+    Every per-property consumer — SHACL property checks
+    (`props.filter(prop == X)`, validation/shacl.py:_prop_vals), spo
+    exports, delta validation — then reads a partition-pruned scan
+    instead of the full table: this is the storage-level half of the
+    delta-validation win (the semi-join removes the aggregations;
+    partition pruning removes the scan)."""
+    nb = n_buckets or cfg.hot_predicate_salt
+    (
+        node_props.withColumn("bucket", F.pmod(F.xxhash64("uri"), F.lit(nb)))
+        .repartition("prop", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("prop")
+        .parquet(out_path)
+    )

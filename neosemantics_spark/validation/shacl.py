@@ -278,6 +278,12 @@ class ShaclValidator:
         self.nodes = tables.nodes.select("uri", "labels")
         self.props = tables.node_props
         self.edges = tables.edges
+        # small-delta pushdown: when validate_delta collects the delta as
+        # a literal uri list, every focus-side scan (nodes/props/edges)
+        # carries an In(uri, ...) predicate that reaches the parquet
+        # reader (row-group skipping) instead of a join that prunes only
+        # AFTER the full scan — the O(delta) path for per-batch validation
+        self._delta_uris: Optional[List[str]] = None
 
     # SQL functions a sh:targetQuery may NOT call: these escape the
     # declarative sandbox into arbitrary JVM invocation. The reference
@@ -322,13 +328,19 @@ class ShaclValidator:
                         "over (uri, labels)."
                     )
         if node_set is not None:
-            focus = focus.join(node_set.select("uri"), "uri", "left_semi")
+            if self._delta_uris is not None:
+                # literal In predicate — pushes to the scan; exactly
+                # equivalent to the semi-join (the list IS the node set)
+                focus = focus.filter(F.col("uri").isin(self._delta_uris))
+            else:
+                focus = focus.join(node_set.select("uri"), "uri", "left_semi")
         return focus
 
     def _prop_vals(self, focus: DataFrame, path: str) -> DataFrame:
-        p = self.props.filter(F.col("prop") == self.m(path)).select(
-            "uri", F.explode("values").alias("value"), "value_type", "datatype"
-        )
+        p = self.props.filter(F.col("prop") == self.m(path))
+        if self._delta_uris is not None:
+            p = p.filter(F.col("uri").isin(self._delta_uris))
+        p = p.select("uri", F.explode("values").alias("value"), "value_type", "datatype")
         return focus.select("uri").join(p, "uri", "inner")
 
     def _out_edges(self, focus: DataFrame, path: str, inverse: bool = False) -> DataFrame:
@@ -337,6 +349,8 @@ class ShaclValidator:
             e = e.select(F.col("dst").alias("uri"), F.col("src").alias("other"))
         else:
             e = e.select(F.col("src").alias("uri"), F.col("dst").alias("other"))
+        if self._delta_uris is not None:
+            e = e.filter(F.col("uri").isin(self._delta_uris))
         return focus.select("uri").join(e, "uri", "inner")
 
     # ---------------- property-constraint checks (§2.6 table)
@@ -534,6 +548,8 @@ class ShaclValidator:
             used_p = self.props.select("uri", F.col("prop").alias("used"))
             used_r = self.edges.select(F.col("src").alias("uri"), F.col("rel").alias("used"))
             used = used_p.unionByName(used_r)
+            if self._delta_uris is not None:
+                used = used.filter(F.col("uri").isin(self._delta_uris))
             bad = (
                 focus.select("uri")
                 .join(used, "uri", "inner")
@@ -620,6 +636,7 @@ class ShaclValidator:
         shapes: CompiledShapes,
         delta_nodes: DataFrame,
         skip_untouched_shapes: bool = True,
+        pushdown_threshold: int = 10_000,
     ) -> DataFrame:
         """validateTransaction analogue (ValidationProcedures.java:23-55,
         155-170): validate ONLY the nodes touched by a delta — e.g.
@@ -634,14 +651,22 @@ class ShaclValidator:
         and always run (scoped to the delta by `_focus`)."""
         spark = self.nodes.sparkSession
         delta_nodes = delta_nodes.select("uri")
+        # small-delta pushdown: collect the uri list once (a per-batch
+        # delta is metadata-sized; 10k uris ≈ 1 MB) so every scan below
+        # carries an In(uri, ...) predicate instead of a post-scan join —
+        # with parquet/Iceberg sources the reader then skips row groups
+        delta_list = [r["uri"] for r in delta_nodes.limit(pushdown_threshold + 1).collect()]
+        use_pushdown = len(delta_list) <= pushdown_threshold
         props, node_cons = shapes.props, shapes.nodes
         if skip_untouched_shapes:
+            scoped = (
+                self.nodes.filter(F.col("uri").isin(delta_list))
+                if use_pushdown
+                else self.nodes.join(delta_nodes, "uri", "left_semi")
+            )
             touched_labels = {
                 r["l"]
-                for r in self.nodes.join(delta_nodes, "uri", "left_semi")
-                .select(F.explode("labels").alias("l"))
-                .distinct()
-                .collect()
+                for r in scoped.select(F.explode("labels").alias("l")).distinct().collect()
             }
 
             def runs(c) -> bool:
@@ -652,10 +677,14 @@ class ShaclValidator:
             props = [c for c in props if runs(c)]
             node_cons = [c for c in node_cons if runs(c)]
         checks: List[DataFrame] = []
-        for c in props:
-            checks.extend(self.check_property(c, delta_nodes))
-        for c in node_cons:
-            checks.extend(self.check_node(c, delta_nodes))
+        self._delta_uris = delta_list if use_pushdown else None
+        try:
+            for c in props:
+                checks.extend(self.check_property(c, delta_nodes))
+            for c in node_cons:
+                checks.extend(self.check_node(c, delta_nodes))
+        finally:
+            self._delta_uris = None
         if not checks:
             return spark.createDataFrame([], RESULT_SCHEMA)
         return reduce(DataFrame.unionByName, checks)

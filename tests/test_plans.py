@@ -164,3 +164,43 @@ def test_chunking_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan, plan[:800]
     plan2 = formatted_plan(text.redact_pii(docs))
     assert "Exchange" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_shacl_prop_check_prunes_partitioned_props(spark, tmp_path):
+    """With node_props written via write_node_props_partitioned, a SHACL
+    property check's scan carries a partition filter on prop — the
+    storage half of the delta-validation win."""
+    import pandas as pd
+
+    from neosemantics_spark.config import ARRAY, KEEP, GraphConfig
+    from neosemantics_spark.operators.materialize import (
+        materialize,
+        transform_triples,
+        write_node_props_partitioned,
+    )
+    from neosemantics_spark.sources.parse import extract_triples
+    from neosemantics_spark.validation.shacl import ShaclValidator, compile_shapes
+
+    data = """@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:name "x" ; ex:other "y" .
+"""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            [{"repo": "r", "path": "d.ttl", "commit": "c" * 40, "lang": "Turtle", "content": data}]
+        )
+    )
+    cfg = GraphConfig(handle_vocab_uris=KEEP, handle_multival=ARRAY)
+    tb = materialize(transform_triples(extract_triples(src), cfg), cfg)
+    out = str(tmp_path / "props")
+    write_node_props_partitioned(tb.node_props, out, cfg)
+    tb2 = tb._replace(node_props=spark.read.parquet(out))
+    shapes = compile_shapes(
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    )
+    [check] = ShaclValidator(tb2).check_property(shapes.props[0])
+    plan = formatted_plan(check)
+    assert any("prop" in f for f in partition_filters(plan)), plan[:1200]
