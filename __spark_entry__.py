@@ -28,7 +28,7 @@ from neosemantics_spark.functions import (
     get_lang_tag,
     get_value,
 )
-from neosemantics_spark.operators import dedup, inference, similarity, text
+from neosemantics_spark.operators import datasets, dedup, inference, similarity, text
 from neosemantics_spark.operators.cc import canonical_map
 from neosemantics_spark.operators.export import (
     graph_to_triples,
@@ -387,6 +387,30 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 100 != 0)
+    sharing any word 4-gram with the held-out eval slice (doc_id % 100
+    == 0). n=4 chosen so the sf0.01 corpus actually has overlap; the
+    production default is 8."""
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return datasets.decontaminate(train, bench, n=4).select("doc_id", "shared_shingles")
+
+
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-prefix train/val/test assignment (90/5/5)."""
+    return datasets.hash_split(_docs(spark, sf)).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic downsample (dataset mixing): en 25%,
+    de 50%, everything else 10%."""
+    return datasets.stratified_sample(
+        _docs(spark, sf), {"en": 0.25, "de": 0.5}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.language_id(_docs(spark, sf)).select("doc_id", "pred_lang", "score")
 
@@ -699,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf": q_ann_ivf,
+        "decontam": q_decontam,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1219,6 +1246,43 @@ UNION ALL SELECT path, root, 'http://example.org/json#chars', CAST(n_chars AS VA
 UNION ALL SELECT path, root, 'http://example.org/json#src', bn, false FROM b
 UNION ALL SELECT path, bn, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'http://example.org/json#Src', false FROM b
 UNION ALL SELECT path, bn, 'http://example.org/json#name', source, true FROM b
+"""
+    # datasets.py curation ops — tokenization mirrored exactly:
+    # lower → non-alnum runs to ' ' → trim → split → drop empties;
+    # 4-gram window i in [1, len-3], slice toks[i : i+3] (4 elems)
+    out["decontam"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+3], ' '))) AS shingle
+  FROM tok WHERE len(toks) >= 4
+), train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 100 <> 0),
+   bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0)
+SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS shared_shingles
+FROM train t JOIN bench b USING (shingle)
+GROUP BY t.doc_id
+"""
+    # md5-prefix cutoffs from split_thresholds({.9,.05,.05}, 4):
+    # 0.90*65536=58982=0xe666, 0.95*65536=62259=0xf333
+    out["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+    # en 0.25→0x4000, de 0.5→0x8000, default 0.1→round(6553.6)=0x199a
+    out["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'de' AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+   OR (lang = 'en' AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+   OR (lang NOT IN ('de', 'en')
+       AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
 """
     out["embedding_near_dups"] = f"""
 WITH e AS (

@@ -1,0 +1,168 @@
+"""Dataset-curation operators for training-data pipelines: benchmark
+decontamination, deterministic hash splits, stratified sampling.
+
+These complement the dedup/similarity family (`operators/dedup.py`,
+`operators/similarity.py`) with the remaining ops a 100 TB pretraining
+pipeline runs on every corpus build:
+
+- `decontaminate` — flag training documents that share any word n-gram
+  with a held-out benchmark/eval set (the standard n-gram-overlap
+  decontamination used for pretraining corpora). The benchmark side is
+  orders of magnitude smaller than the corpus, so its distinct shingle
+  set is broadcast; the training side stays a narrow scan → explode →
+  partial-agg. No shuffle of raw text ever happens: shingles are joined
+  as strings only after the benchmark side is reduced to a broadcast
+  hash relation.
+- `hash_split` / `split_thresholds` — deterministic train/val/test
+  assignment from a md5 prefix of the id. Pure narrow column expression:
+  no shuffle, no RNG, stable across runs/engines/cluster sizes, and any
+  row's split can be recomputed independently (the property replay and
+  incremental ingest need). md5 hex prefixes are compared
+  lexicographically so the same cutoffs work in Spark and DuckDB.
+- `stratified_sample` — per-stratum deterministic downsampling (the
+  "dataset mixing" primitive: weight each source/language bucket
+  differently). Same md5-threshold trick keyed on (stratum, id) so the
+  sample is a fixed measurable subset, again shuffle-free.
+
+All three are pure `pyspark.sql.functions` column programs — whole-stage
+codegen end to end, no UDFs, no windows, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_tokens(col: Column) -> Column:
+    """Lowercased alphanumeric word array — the shared tokenization for
+    shingling (kept deliberately simple so the DuckDB oracle can mirror
+    it exactly: lower → non-alnum runs to one space → trim → split)."""
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "),
+        lambda w: w != "",
+    )
+
+
+def shingle_set(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) — the DISTINCT word n-grams of each document.
+
+    The n-gram expansion is a `transform` over an index sequence with
+    `slice` + `array_join` (array ops are codegen'd; only lambda-hosting
+    HOFs like aggregate are interpreted — and even those only pay per
+    element, not per byte). Documents shorter than n words emit nothing
+    (guarded: Spark's `sequence(0, negative)` would count DOWN, not
+    return empty)."""
+    toks = norm_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shared_shingles) for every training document that shares
+    at least one word n-gram with the benchmark set — the rows a
+    pretraining build drops (or audits) before training.
+
+    Plan shape for 100 TB: the benchmark's distinct shingles are a small
+    relation (eval sets are fixed-size; the corpus is not) → broadcast
+    hash join against the exploded training shingles, which aggregate
+    map-side per doc. The training table is scanned once, narrow until
+    the explode, and nothing wider than (id, shingle) is ever shuffled.
+    If the bench side ever outgrows broadcast, Spark's size estimate
+    (AQE) demotes it to a shuffled hash join with the same semantics."""
+    train_sh = shingle_set(train, n, id_col, text_col)
+    bench_sh = F.broadcast(shingle_set(bench, n, id_col, text_col).select("shingle").distinct())
+    return (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+
+
+def split_thresholds(weights: dict[str, float], digits: int = 4) -> list[tuple[str, str]]:
+    """[(split_name, hex_cutoff)] — cumulative md5-prefix cutoffs for
+    `hash_split`. With digits=4 the id space is cut at 1/65536
+    granularity; cutoffs are zero-padded hex strings so lexicographic
+    comparison equals numeric comparison in any engine."""
+    total = sum(weights.values())
+    space = 16**digits
+    acc = 0.0
+    out = []
+    for name, w in weights.items():
+        acc += w / total
+        cut = format(min(space, int(round(acc * space))), "x").rjust(digits, "0")
+        out.append((name, cut))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Adds a `split` column: deterministic train/val/test assignment by
+    the first `digits` hex chars of md5(id). Narrow (no shuffle, no RNG
+    seed to manage); the same row lands in the same split on every run,
+    engine, and cluster size — which is what makes eval sets stable
+    across incremental corpus rebuilds."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, digits)
+    cuts = split_thresholds(weights, digits)
+    # when-chain in cut order: the first matching cutoff wins
+    expr = None
+    for name, cut in cuts[:-1]:
+        clause = F.when(prefix < F.lit(cut), F.lit(name))
+        expr = clause if expr is None else expr.when(prefix < F.lit(cut), F.lit(name))
+    expr = expr.otherwise(F.lit(cuts[-1][0])) if expr is not None else F.lit(cuts[-1][0])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    digits: int = 4,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff the md5 prefix of
+    '<stratum>:<id>' falls under that stratum's cutoff. This is the
+    dataset-mixing primitive (upsample/downsample sources or languages to
+    target weights) expressed as a pure filter — predicate-pushdown-able,
+    shuffle-free, and reproducible without a seed. Keying the hash on the
+    stratum too decorrelates the per-stratum samples (a doc kept in one
+    stratum's 50% says nothing about its fate under another weight)."""
+    space = 16**digits
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))),
+        1,
+        digits,
+    )
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cut = format(min(space, int(round(frac * space))), "x").rjust(digits, "0")
+        cond = (F.col(strata_col) == stratum) & (prefix < F.lit(cut))
+        expr = cond if expr is None else expr | cond
+    if default_fraction > 0:
+        cut = format(min(space, int(round(default_fraction * space))), "x").rjust(digits, "0")
+        others = ~F.col(strata_col).isin(list(fractions)) & (prefix < F.lit(cut))
+        expr = others if expr is None else expr | others
+    return df.filter(expr if expr is not None else F.lit(False))

@@ -222,6 +222,31 @@ def oversized_buckets(
     )
 
 
+def _probe_buckets(bucket: Column, nbits: int, probe_bits: int) -> Column:
+    """Array of bucket strings within Hamming distance <= probe_bits of
+    `bucket` (multi-probe LSH, Lv et al. VLDB'07 simplified to exhaustive
+    radius-r probing — fine because it runs only on the tiny broadcast
+    query side; the corpus-side table is untouched). probe_bits=0 returns
+    just the bucket itself."""
+    from itertools import combinations
+
+    def flip(col: Column, positions: tuple[int, ...]) -> Column:
+        out = col
+        for i in positions:
+            out = F.concat(
+                F.substring(out, 1, i - 1),
+                F.when(F.substring(out, i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring(out, i + 1, nbits - i),
+            )
+        return out
+
+    probes = [bucket]
+    for r in range(1, probe_bits + 1):
+        for pos in combinations(range(1, nbits + 1), r):
+            probes.append(flip(bucket, pos))
+    return F.array(*probes)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -230,19 +255,34 @@ def lsh_topk(
     bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine restricted to candidates sharing a
     bucket with the query in ANY of `bands` hyperplane tables (multi-band
     raises recall; candidates are deduped before scoring). Buckets come
     from the codegen `lsh_bucket_table` path — the per-row higher-order
     formulation is interpreted and pays ~dims×nbits lambda calls per row,
-    which at 10^9 rows is core-hours."""
+    which at 10^9 rows is core-hours.
+
+    `probe_bits` > 0 turns on multi-probe: each query additionally probes
+    every bucket within that Hamming distance of its own, in every band.
+    The probe fan-out multiplies only the broadcast query side (queries ×
+    bands × sum_r C(nbits, r) rows) — the corpus bucket table and the
+    equi-join shape are unchanged, so candidate volume grows by at most
+    the probe factor while recall rises sharply on corpora where true
+    neighbors straddle a hyperplane (measured in BASELINE.md)."""
     from pyspark.sql.window import Window
 
     bt = lsh_bucket_table(embeddings, nbits, bands, id_col, vec_col)
     qb = bt.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), "band", "bucket"
     )
+    if probe_bits > 0:
+        qb = qb.select(
+            "query_id",
+            "band",
+            F.explode(_probe_buckets(F.col("bucket"), nbits, probe_bits)).alias("bucket"),
+        ).distinct()
     cand = (
         F.broadcast(qb)
         .join(bt.select(F.col("id").alias("neighbor_id"), "band", "bucket"), ["band", "bucket"])

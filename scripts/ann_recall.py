@@ -77,11 +77,17 @@ def main() -> None:
         return round(hits / bf_n, 3)
 
     rows = []
-    for nbits, bands in ((4, 2), (4, 4), (6, 4), (8, 8)):
+    for nbits, bands, probe_bits in (
+        (4, 2, 0), (4, 4, 0), (6, 4, 0), (8, 8, 0),
+        (4, 4, 1), (4, 4, 2), (6, 4, 1), (6, 4, 2), (8, 8, 2),
+    ):
         t0 = time.perf_counter()
-        r = recall(sim.lsh_topk(emb, qids, k=k, nbits=nbits, bands=bands))
+        r = recall(
+            sim.lsh_topk(emb, qids, k=k, nbits=nbits, bands=bands, probe_bits=probe_bits)
+        )
         rows.append(
             {"path": "lsh_topk", "n": n, "nbits": nbits, "bands": bands,
+             "probe_bits": probe_bits,
              "recall": r, "sec": round(time.perf_counter() - t0, 2)}
         )
     n_cent = sim.suggest_n_centroids(n)

@@ -1,0 +1,108 @@
+"""Dataset-curation ops (operators/datasets.py) + multi-probe LSH."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosemantics_spark.operators import datasets as ds
+from neosemantics_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the sleepy cat", "en"),
+        (2, "completely different words here nothing shared at all", "en"),
+        (3, "der schnelle braune fuchs springt gern", "de"),
+        (4, "Short doc", "en"),
+        (5, "the quick brown fox naps", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_shingle_set_short_doc_guard(docs):
+    sh = ds.shingle_set(docs, n=4)
+    # doc 4 has 2 tokens < n → contributes nothing (and must NOT trip
+    # Spark's descending sequence(0, negative))
+    assert sh.filter(F.col("id") == 4).count() == 0
+    # doc 0 has 9 tokens → 6 windows, all distinct
+    assert sh.filter(F.col("id") == 0).count() == 6
+
+
+def test_shingle_set_normalizes(spark):
+    df = spark.createDataFrame([(0, "Foo, BAR!  baz-qux one"), (1, "foo bar baz qux one")],
+                               ["doc_id", "text"])
+    a = {r["shingle"] for r in ds.shingle_set(df, n=4).filter("id = 0").collect()}
+    b = {r["shingle"] for r in ds.shingle_set(df, n=4).filter("id = 1").collect()}
+    assert a == b == {"foo bar baz qux", "bar baz qux one"}
+
+
+def test_decontaminate(docs):
+    train = docs.filter(F.col("doc_id") != 0)
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r["shared_shingles"] for r in ds.decontaminate(train, bench, n=4).collect()}
+    # doc 1 shares 'the quick brown fox' + 'quick brown fox jumps' +
+    # 'fox jumps over the'... count the exact overlap
+    assert 1 in out and out[1] >= 3
+    assert 2 not in out and 3 not in out and 4 not in out
+    # doc 5: 'the quick brown fox' only
+    assert out.get(5) == 1
+
+
+def test_hash_split_deterministic_partition(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = ds.hash_split(df)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    n = sum(counts.values())
+    assert n == 2000
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    # deterministic: second evaluation identical
+    b = ds.hash_split(df)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_thresholds_cumulative():
+    cuts = ds.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert cuts == [("train", "e666"), ("val", "f333"), ("test", "10000")]
+
+
+def test_stratified_sample_rates_and_decorrelation(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+         .otherwise("zh").alias("lang"),
+    )
+    out = ds.stratified_sample(df, {"en": 0.5, "de": 0.2}, default_fraction=0.05)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 1000 - 0.5) < 0.06
+    assert abs(counts["de"] / 1000 - 0.2) < 0.05
+    assert counts.get("zh", 0) / 1000 < 0.1
+    # hash keyed on (stratum, id): the SAME ids sampled under a different
+    # stratum label give a different (decorrelated) subset
+    ids = df.filter("doc_id % 3 = 0").select("doc_id")
+    s1 = {r["doc_id"] for r in
+          ds.stratified_sample(ids.withColumn("lang", F.lit("en")), {"en": 0.5}).collect()}
+    s2 = {r["doc_id"] for r in
+          ds.stratified_sample(ids.withColumn("lang", F.lit("de")), {"de": 0.5}).collect()}
+    assert s1 and s2 and s1 != s2
+
+
+def test_probe_buckets_expansion(spark):
+    df = spark.createDataFrame([("1010",)], ["b"])
+    got = df.select(sim._probe_buckets(F.col("b"), 4, 1).alias("p")).collect()[0]["p"]
+    assert got == ["1010", "0010", "1110", "1000", "1011"]
+    got2 = df.select(sim._probe_buckets(F.col("b"), 4, 2).alias("p")).collect()[0]["p"]
+    assert len(got2) == 1 + 4 + 6 and len(set(got2)) == 11
+
+
+def test_lsh_topk_multiprobe_superset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(4))
+    # k larger than the corpus so rank truncation can't hide candidates:
+    # probing only ADDS buckets, so base candidates ⊆ probed candidates
+    base = sim.lsh_topk(emb, qids, k=10**6, nbits=6, bands=2, probe_bits=0)
+    probed = sim.lsh_topk(emb, qids, k=10**6, nbits=6, bands=2, probe_bits=1)
+    b = {(r["query_id"], r["neighbor_id"]) for r in base.collect()}
+    p = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
+    assert b and b <= p
