@@ -28,7 +28,15 @@ from neosemantics_spark.functions import (
     get_lang_tag,
     get_value,
 )
-from neosemantics_spark.operators import datasets, dedup, inference, similarity, text
+from neosemantics_spark.operators import (
+    datasets,
+    dedup,
+    inference,
+    lm,
+    search,
+    similarity,
+    text,
+)
 from neosemantics_spark.operators.cc import canonical_map
 from neosemantics_spark.operators.export import (
     graph_to_triples,
@@ -411,6 +419,29 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 for a mixed rare+common query ('dup' is the
+    discriminative term in the synthetic vocabulary)."""
+    return search.bm25_topk(_docs(spark, sf), "dup merge window", k=10).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition stats: 20 most frequent word bigrams."""
+    return search.top_ngrams(_docs(spark, sf), n=2, k=20).select("ngram", "cnt")
+
+
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality scoring: train on even doc_ids, score the held
+    out odd half (the perplexity-filter signal of a pretraining build)."""
+    docs = _docs(spark, sf)
+    model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.lm_score(docs.filter(F.col("doc_id") % 2 == 1), model).select(
+        "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.language_id(_docs(spark, sf)).select("doc_id", "pred_lang", "score")
 
@@ -726,6 +757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "bm25_search": q_bm25_search,
+        "top_ngrams": q_top_ngrams,
+        "lm_score": q_lm_score,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1283,6 +1317,78 @@ WHERE (lang = 'de' AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
    OR (lang = 'en' AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
    OR (lang NOT IN ('de', 'en')
        AND substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
+"""
+    # Okapi BM25 (Lucene idf variant), k1=1.2 b=0.75; score rounded with
+    # the same portable floor(x*1e4+0.5)/1e4 BEFORE ranking so the rank
+    # boundary is engine-deterministic
+    out["bm25_search"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+   stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+   tf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok, unnest(toks) AS u(t)
+  WHERE t IN ('dup', 'merge', 'window')
+  GROUP BY 1, 2
+), dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+   scored AS (
+  SELECT tf.doc_id,
+         floor(sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) * 10000 + 0.5) / 10000 AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    out["top_ngrams"] = """
+WITH tok AS (
+  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS ngram
+  FROM tok WHERE len(toks) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 20
+"""
+    # add-0.1-smoothed bigram LM trained on even doc_ids, scored on odd;
+    # P(w2|w1) = (c2+α)/(c1+α·V); per-bigram ln is engine-identical up to
+    # ulps, absorbed by the portable round4 on the mean
+    out["lm_score"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS pair
+  FROM tok WHERE len(toks) >= 2
+), bge AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM bg),
+   c2 AS (SELECT w1, w2, count(*) AS c2 FROM bge WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+   c1 AS (SELECT w1, count(*) AS c1
+          FROM (SELECT doc_id, unnest(toks) AS w1 FROM tok WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+   v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+   sc AS (
+  SELECT b.doc_id,
+         ln((CAST(coalesce(c2.c2, 0) AS DOUBLE) + 0.1)
+            / (CAST(coalesce(c1.c1, 0) AS DOUBLE) + 0.1 * v.v)) AS logp
+  FROM bge b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+  WHERE b.doc_id % 2 = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+FROM sc GROUP BY doc_id
 """
     out["embedding_near_dups"] = f"""
 WITH e AS (

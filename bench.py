@@ -98,6 +98,8 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "ann_topk",
         "ann_ivf",
         "text_quality",
+        "decontam",
+        "hash_split",
         "events_window",
         "orders_rdf",
     ):
@@ -140,13 +142,17 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         )
         return round(hits / bf_n, 3)
 
+    # multi-probe (probe_bits=1) lifted base-corpus recall 0.49 → 0.93
+    # and 10x-corpus 0.905 → 1.0 at the same candidate-join shape; the
+    # full parameter table is in BASELINE.md (scripts/ann_recall.py)
     recall_lsh = timed(
-        "ann_recall_lsh", lambda: _recall(sim.lsh_topk(emb, qids, k=rk, nbits=4, bands=4))
+        "ann_recall_lsh",
+        lambda: _recall(sim.lsh_topk(emb, qids, k=rk, nbits=4, bands=4, probe_bits=1)),
     )
     recall_ivf = timed(
         "ann_recall_ivf",
         lambda: _recall(
-            sim.ivf_topk(emb, qids, k=rk, n_centroids=None, n_probe=8, refine_iters=1)
+            sim.ivf_topk(emb, qids, k=rk, n_centroids=None, n_probe=16, refine_iters=1)
         ),
     )
 
@@ -170,7 +176,9 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
                 "recall_k": rk,
                 "recall_queries": len(qids),
                 "recall_lsh_topk": recall_lsh,
+                "recall_lsh_cfg": "nbits=4,bands=4,probe_bits=1",
                 "recall_ivf_topk": recall_ivf,
+                "recall_ivf_cfg": "n_probe=16,refine_iters=1",
             }
         )
     )

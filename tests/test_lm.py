@@ -1,0 +1,58 @@
+"""Bigram-LM quality scoring (operators/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosemantics_spark.operators import lm
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (4, "one-word"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_doc_bigrams_guard_and_pairs(corpus):
+    bg = lm._doc_bigrams(corpus, "doc_id", "text")
+    # doc 4 normalizes to ['one', 'word'] → exactly one bigram
+    assert [(r["w1"], r["w2"]) for r in bg.filter("id = 4").collect()] == [("one", "word")]
+    assert bg.filter("id = 0").count() == 5
+
+
+def test_train_counts(corpus):
+    model = lm.train_bigram_lm(corpus)
+    c2 = {(r["w1"], r["w2"]): r["c2"] for r in model.bigrams.collect()}
+    assert c2[("the", "cat")] == 2 and c2[("cat", "sat")] == 1
+    c1 = {r["w1"]: r["c1"] for r in model.unigrams.collect()}
+    assert c1["the"] == 4 and c1["cat"] == 2
+    assert model.vocab_size == len(c1)
+
+
+def test_lm_score_formula_and_ordering(spark, corpus):
+    model = lm.train_bigram_lm(corpus)
+    scored_docs = spark.createDataFrame(
+        [(1, "the cat sat"), (3, "zebra quark flux")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in lm.lm_score(scored_docs, model).collect()}
+    # in-domain text scores far above fully-OOV text
+    assert out[1]["avg_logp"] > out[3]["avg_logp"]
+    assert out[1]["n_bigrams"] == 2 and out[3]["n_bigrams"] == 2
+    # manual check: P(cat|the) = (2+0.1)/(4+0.1*V), P(sat|cat) = (1+0.1)/(2+0.1*V)
+    v = model.vocab_size
+    expect = (
+        math.log(2.1 / (4 + 0.1 * v)) + math.log(1.1 / (2 + 0.1 * v))
+    ) / 2
+    assert out[1]["avg_logp"] == pytest.approx(
+        math.floor(expect * 10000 + 0.5) / 10000, abs=1e-9
+    )
+    # fully-OOV bigrams: c2 = c1 = 0 → ln(0.1 / (0.1 * V))
+    oov = math.log(0.1 / (0.1 * v))
+    assert out[3]["avg_logp"] == pytest.approx(
+        math.floor(oov * 10000 + 0.5) / 10000, abs=1e-9
+    )

@@ -204,3 +204,30 @@ ex:S a sh:NodeShape ; sh:targetClass ex:T ;
     [check] = ShaclValidator(tb2).check_property(shapes.props[0])
     plan = formatted_plan(check)
     assert any("prop" in f for f in partition_filters(plan)), plan[:1200]
+
+
+def test_tokenizer_materialized_once_in_shingles(spark, sf_dir):
+    """shingle_set / top_ngrams / _doc_bigrams must evaluate the
+    regex+split tokenizer ONCE per row in its own projection. If
+    CollapseProject ever re-inlines it into the n-gram transform, the
+    tokenizer re-runs per transform element (measured 4x slowdown on the
+    decontam pipeline at sf0.1) and the optimized plan shows one
+    regexp_replace per reference instead of one per scan side."""
+    from neosemantics_spark.operators import datasets, lm, search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df, sides in (
+        (datasets.shingle_set(docs, n=4), 1),
+        (search.top_ngrams(docs, n=2, k=5), 1),
+        (lm._doc_bigrams(docs, "doc_id", "text"), 1),
+        (
+            datasets.decontaminate(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+                n=4,
+            ),
+            2,
+        ),
+    ):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("regexp_replace") == sides, opt[:1500]

@@ -1,0 +1,77 @@
+"""BM25 retrieval + corpus n-gram stats (operators/search.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neosemantics_spark.operators import search
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark shuffle join join join"),
+        (1, "spark shuffle"),
+        (2, "join once here"),
+        (3, "nothing relevant at all"),
+        (4, "spark spark spark spark spark spark spark spark"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_build_postings_tf_and_dl(docs):
+    postings, doclens = search.build_postings(docs)
+    tf = {(r["term"], r["id"]): r["tf"] for r in postings.collect()}
+    assert tf[("join", 0)] == 3 and tf[("spark", 4)] == 8 and tf[("shuffle", 1)] == 1
+    dl = {r["id"]: r["dl"] for r in doclens.collect()}
+    assert dl == {0: 5, 1: 2, 2: 3, 3: 4, 4: 8}
+
+
+def test_tokenize_query_normalizes_and_dedupes():
+    assert search.tokenize_query("Join, JOIN  shuffle!") == ["join", "shuffle"]
+    with pytest.raises(ValueError):
+        search.bm25_topk(None, "!!!")
+
+
+def test_bm25_ranking(docs):
+    out = search.bm25_topk(docs, "join shuffle", k=5).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    # doc 0 matches both terms with tf(join)=3 — must rank first; doc 3
+    # matches nothing and doc 4 matches nothing -> absent
+    assert ranks[0] == 1
+    assert 3 not in ranks and 4 not in ranks
+    assert set(ranks) == {0, 1, 2}
+    # scores strictly ordered by rank
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    scores = [r["score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_matches_manual_formula(docs):
+    # single-term query so the formula is easy to check by hand
+    out = {r["doc_id"]: r["score"] for r in search.bm25_topk(docs, "shuffle", k=5).collect()}
+    n, avgdl = 5, (5 + 2 + 3 + 4 + 8) / 5
+    df_t, k1, b = 2, 1.2, 0.75
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    def s(tf, dl):
+        val = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(val * 10000 + 0.5) / 10000
+    assert out[0] == pytest.approx(s(1, 5))
+    assert out[1] == pytest.approx(s(1, 2))
+
+
+def test_bm25_takeordered_plan(docs):
+    """The top-k must be a TakeOrdered/limit, not a global sort of the
+    scored set."""
+    plan = search.bm25_topk(docs, "join", k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_ngrams(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "zz")], ["doc_id", "text"]
+    )
+    got = [(r["ngram"], r["cnt"]) for r in search.top_ngrams(df, n=2, k=3).collect()]
+    # 'a b' x3; then 'b a' / 'b c' / 'b x' all x1 — lexicographic tiebreak
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
