@@ -1,0 +1,55 @@
+"""Corpus-curation entrypoint — spark-submit wrapper around
+neosemantics_spark.curation.curate_corpus (the dataset-build twin of
+jobs/import_job.py).
+
+Example:
+    zip -r /tmp/pkg.zip neosemantics_spark
+    spark-submit --py-files /tmp/pkg.zip jobs/curate_job.py \
+        --input /data/documents --output /data/curated \
+        --bench /data/eval_docs --jaccard-threshold 0.8 --lm-quantile 0.05
+
+Writes the curated corpus partitioned by split (train/val/test
+subdirectories — the layout a trainer consumes directly) and prints one
+JSON metrics line accounting for every stage's drops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated output root")
+    ap.add_argument("--bench", default=None, help="benchmark/eval docs parquet (optional)")
+    ap.add_argument("--num-hashes", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8)
+    ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--lm-quantile", type=float, default=0.05)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from neosemantics_spark.curation import curate_corpus
+
+    spark = SparkSession.builder.getOrCreate()
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    res = curate_corpus(
+        docs,
+        bench,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        jaccard_threshold=args.jaccard_threshold,
+        decontam_n=args.decontam_ngram,
+        lm_quantile=args.lm_quantile,
+    )
+    res.curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    print(json.dumps({"output": args.output, **res.metrics}))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,15 +30,38 @@ def _words(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingle array (distinct), JVM-side via transform/sequence."""
-    w = _words(col)
+def shingles_of_words(w: Column, k: int = 3) -> Column:
+    """k-word shingle array (distinct) from an ALREADY-MATERIALIZED word
+    array column. The caller must project `_words(...)` into its own
+    column first: Catalyst does no common-subexpression elimination
+    through lambda HOFs, so referencing the tokenizer expression inside
+    the transform would re-split the text once per shingle window
+    (measured 4x on the decontam pipeline; same class of fix here)."""
     n = F.size(w)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k))
     )
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", w))))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingle array from the raw text column. Only for one-shot
+    per-row use where the word array cannot be projected separately —
+    prefer `shingle_rows` / `shingles_of_words` (see docstring there)."""
+    return shingles_of_words(_words(col), k)
+
+
+def shingle_rows(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) exploded rows with the word array materialized
+    once per row in its own projection (the fast path every shingle
+    consumer should use)."""
+    base = docs.select(id_col, _words(F.col(text_col)).alias("_w"))
+    return base.select(
+        id_col, F.explode(shingles_of_words(F.col("_w"), k)).alias("shingle")
+    )
 
 
 # --------------------------------------------------------------- exact
@@ -72,7 +95,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     md5(i || '|' || shingle) — lexicographic min of hex strings.
     Plan: explode(shingles) × explode(seeds) → groupBy min (partial agg
     makes the shuffle tiny: num_hashes rows per doc)."""
-    sh = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    sh = shingle_rows(docs, k, text_col)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     hashed = sh.select(
         "doc_id",
@@ -151,7 +174,9 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
     zip_with(least) variant 16.6 s — Spark's higher-order functions run
     interpreted (no whole-stage codegen), so avoiding the tiny
     (num_hashes rows/doc after map-side combine) shuffle LOSES to staying
-    inside codegen. Keeping the explode plan is deliberate."""
+    inside codegen. Keeping the explode plan is deliberate. (All three
+    numbers predate the shingle_rows tokenizer materialization, which cut
+    the kept plan to 3.4 s steady-state — the ranking is unaffected.)"""
     b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
     return bucket_pairs(b, ["band", "bucket"], "doc_id")
 
@@ -168,9 +193,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
     the expensive pair expansion only ever sees candidate documents — the
     scale path. (A hot shingle over the full corpus would otherwise make
     the self-join quadratic regardless of the candidate set.)"""
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
-    )
+    sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sh_pair = sh
     if candidates is not None:

@@ -102,14 +102,16 @@ def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 3, top: int =
     """Document fingerprint: md5 of normalized text (exact id) + winnowing-
     lite shingle fingerprint = the `top` lexicographically-smallest md5s of
     k-shingles, concatenated. Deterministic, portable."""
-    from .dedup import shingles
+    from .dedup import shingles_of_words
 
-    norm = F.concat_ws(" ", _words(F.col(text_col)))
-    sh = shingles(F.col(text_col), k)
-    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    # word array materialized once — the shingle transform would re-split
+    # the text per window otherwise (no CSE through lambda HOFs)
+    base = docs.select("doc_id", _words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    hashes = F.array_sort(F.transform(shingles_of_words(w, k), lambda s: F.md5(s)))
+    return base.select(
         "doc_id",
-        F.md5(norm).alias("exact_fp"),
+        F.md5(F.concat_ws(" ", w)).alias("exact_fp"),
         F.array_join(F.slice(hashes, 1, top), "").alias("shingle_fp"),
     )
 

@@ -231,3 +231,19 @@ def test_tokenizer_materialized_once_in_shingles(spark, sf_dir):
     ):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("regexp_replace") == sides, opt[:1500]
+
+
+def test_tokenizer_materialized_once_in_minhash(spark, sf_dir):
+    """dedup's shingle consumers project the word array before the
+    shingle transform (shingle_rows) — the split/trim/lower tokenizer
+    appears once per scan branch in the optimized plan, not once per
+    shingle window."""
+    from neosemantics_spark.operators import dedup, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        dedup.minhash_lsh_candidates(docs, num_hashes=4, bands=2),
+        text.fingerprints(docs),
+    ):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == 1, opt[:1500]
