@@ -26,8 +26,11 @@ def _words(col: Column) -> Column:
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    """Per-language marker-hit count over the token list."""
-    w = _words(col)
+    """Per-language marker-hit count over the token list. Pass an
+    already-materialized word-array column where possible — each returned
+    expression references the input independently, so handing in the raw
+    tokenizer expression re-runs it once per language."""
+    w = col
     return {
         lang: F.size(F.filter(w, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -36,8 +39,12 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, score): argmax language by marker hits;
-    deterministic tie-break on language code asc; 'und' when zero hits."""
-    scores = lang_scores(F.col(text_col))
+    deterministic tie-break on language code asc; 'und' when zero hits.
+    The token array is projected once, then every per-language filter
+    references the attribute (one tokenizer run per row, not per
+    language)."""
+    docs = docs.select("doc_id", _words(F.col(text_col)).alias("_w"))
+    scores = lang_scores(F.col("_w"))
     pairs = F.array(
         *[
             F.struct(
@@ -57,8 +64,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score in [0,1]:
     n_tokens, mean token length, punctuation ratio, stopword ratio,
-    distinct-token ratio. All portable to SQL."""
-    w = _words(F.col(text_col))
+    distinct-token ratio. All portable to SQL. Token array projected once
+    (5 features reference it; inlining would re-tokenize per feature)."""
+    docs = docs.select("doc_id", text_col, _words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
     n_tok = F.size(w)
     n_chars = F.length(F.col(text_col))
     mean_len = round4((F.aggregate(w, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(n_tok, F.lit(1))))
@@ -87,7 +96,8 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens): whitespace token count + a
     BPE-ish estimate = Σ ceil(len(word)/4) + count of non-alnum-non-space
     chars (a subword-piece proxy; pure arithmetic so every engine agrees)."""
-    w = _words(F.col(text_col))
+    docs = docs.select("doc_id", text_col, _words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
     ws = F.size(w)
     pieces = F.aggregate(
         w, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")

@@ -247,3 +247,15 @@ def test_tokenizer_materialized_once_in_minhash(spark, sf_dir):
     ):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("split(") == 1, opt[:1500]
+
+
+def test_tokenizer_materialized_once_in_text_features(spark, sf_dir):
+    """language_id / quality_features / token_counts project the token
+    array once; their multiple feature expressions reference the
+    attribute instead of re-running the tokenizer per feature."""
+    from neosemantics_spark.operators import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for fn in (text.language_id, text.quality_features, text.token_counts):
+        opt = fn(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") == 1, (fn.__name__, opt[:1200])
