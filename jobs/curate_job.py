@@ -24,6 +24,14 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet path")
     ap.add_argument("--output", required=True, help="curated output root")
     ap.add_argument("--bench", default=None, help="benchmark/eval docs parquet (optional)")
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="curation state root for incremental batch-over-batch builds: "
+        "the batch is deduped/decontaminated against every previously "
+        "accepted document (persisted hash set + LSH bucket index) and "
+        "scored by the persisted reference LM",
+    )
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
@@ -33,21 +41,25 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from neosemantics_spark.curation import curate_corpus
+    from neosemantics_spark.curation import CurationCheckpoint, curate_corpus
 
     spark = SparkSession.builder.getOrCreate()
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
-    res = curate_corpus(
-        docs,
-        bench,
+    opts = dict(
         num_hashes=args.num_hashes,
         bands=args.bands,
         jaccard_threshold=args.jaccard_threshold,
         decontam_n=args.decontam_ngram,
         lm_quantile=args.lm_quantile,
     )
-    res.curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    if args.checkpoint:
+        res = CurationCheckpoint(spark, args.checkpoint).run(docs, bench, **opts)
+        mode = "append"
+    else:
+        res = curate_corpus(docs, bench, **opts)
+        mode = "overwrite"
+    res.curated.write.mode(mode).partitionBy("split").parquet(args.output)
     print(json.dumps({"output": args.output, **res.metrics}))
 
 

@@ -112,3 +112,253 @@ def curate_corpus(
         for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     return CurationResult(curated, metrics)
+
+
+# ------------------------------------------------------- incremental state
+class CurationCheckpoint:
+    """Resumable batch-over-batch corpus curation — the dataset-build
+    twin of `checkpoint.ImportCheckpoint` (same north-rule story: a
+    100 TB corpus is built incrementally, and every batch must dedup /
+    decontaminate against EVERYTHING already accepted, not just itself).
+
+    Persisted state under `root` (parquet directories; Iceberg tables on
+    a real cluster, the dataflow is identical):
+
+    - `text_hashes`  (text_hash)           — sha2(text) of every document
+      ever seen: cross-batch EXACT dedup is one anti-join on a 64-byte
+      key. Includes dropped docs, so a re-submitted copy of a rejected
+      document is rejected again without rescoring.
+    - `reps`         (doc_id, text)        — the accepted canonical
+      documents. The text rides along because cross-batch near-dup
+      verification (exact Jaccard) needs it; at scale this is the
+      curated corpus itself, stored once.
+    - `buckets`      (doc_id, band, bucket) — MinHash-LSH bucket table of
+      the accepted reps. A new batch's buckets equi-join against it, so
+      cross-batch candidate generation never rescans or re-hashes the
+      historical corpus — the state IS the index.
+    - `lm_bigrams` / `lm_unigrams` / `lm_meta` — the persisted bigram LM
+      (trained on the first batch's survivors, reusable so later batches
+      are scored against a STABLE reference distribution).
+    - `meta.json`    — curation parameter fingerprint; a state directory
+      is refused under different parameters (a changed shingle size or
+      band count silently invalidates the bucket index otherwise).
+
+    Crash safety: state appends happen only after the batch's curated
+    output is computed; a crash before the append reprocesses the whole
+    batch idempotently (the anti-join sees no new hashes).
+    """
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.p_hashes = os.path.join(root, "text_hashes")
+        self.p_reps = os.path.join(root, "reps")
+        self.p_buckets = os.path.join(root, "buckets")
+        self.p_lm_big = os.path.join(root, "lm_bigrams")
+        self.p_lm_uni = os.path.join(root, "lm_unigrams")
+        self.p_meta = os.path.join(root, "meta.json")
+
+    def _table(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — not created yet
+            return None
+
+    def _check_meta(self, params: dict) -> None:
+        import json
+        import os
+
+        if os.path.exists(self.p_meta):
+            with open(self.p_meta) as fh:
+                stored = json.load(fh)
+            if stored != params:
+                raise ValueError(
+                    f"Curation state at {self.root} was built with "
+                    f"{stored}; refusing to extend it with {params} — the "
+                    "persisted bucket index and LM are parameter-specific."
+                )
+        else:
+            os.makedirs(self.root, exist_ok=True)
+            with open(self.p_meta, "w") as fh:
+                json.dump(params, fh)
+
+    def run(
+        self,
+        batch: DataFrame,
+        bench: DataFrame | None = None,
+        *,
+        num_hashes: int = 8,
+        bands: int = 4,
+        jaccard_threshold: float = 0.8,
+        decontam_n: int = 8,
+        lm_quantile: float = 0.05,
+        splits: dict[str, float] | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> CurationResult:
+        """Curate one batch against all previously accepted state.
+        doc ids must be globally unique across batches (they key the
+        persisted rep/bucket tables)."""
+        self._check_meta(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "jaccard_threshold": jaccard_threshold,
+                "decontam_n": decontam_n,
+                "k_shingle": 3,
+            }
+        )
+        metrics: dict = {"n_batch": batch.count()}
+
+        # 1. exact dedup: in-batch, then against every hash ever seen
+        kept = dedup.dedup_exact(batch, text_col)
+        batch_hashes = batch.select(
+            F.sha2(F.col(text_col), 256).alias("text_hash")
+        ).distinct()
+        old_hashes = self._table(self.p_hashes)
+        if old_hashes is not None:
+            kept = kept.join(
+                old_hashes.withColumnRenamed("text_hash", "_oh"),
+                F.sha2(F.col(text_col), 256) == F.col("_oh"),
+                "left_anti",
+            )
+        fresh = kept.cache()
+        metrics["n_fresh"] = fresh.count()
+
+        # 2. near-dup: batch bucket table joins the persisted rep index
+        new_b = dedup.lsh_buckets(
+            dedup.minhash_signatures(fresh, num_hashes, 3, text_col), bands
+        ).cache()
+        old_b = self._table(self.p_buckets)
+        old_reps = self._table(self.p_reps)
+        cross = None
+        if old_b is not None and old_reps is not None:
+            cross = (
+                new_b.select("band", "bucket", F.col("doc_id").alias("new_id"))
+                .join(
+                    old_b.select("band", "bucket", F.col("doc_id").alias("old_id")),
+                    ["band", "bucket"],
+                )
+                .select("new_id", "old_id")
+                .distinct()
+            )
+        in_batch = dedup.bucket_pairs(new_b, ["band", "bucket"], "doc_id")
+
+        # one combined exact-Jaccard verification over both pair kinds
+        pairs = in_batch.select("a", "b")
+        verify_docs = fresh.select(id_col, text_col)
+        if cross is not None:
+            norm = cross.select(
+                F.least("new_id", "old_id").alias("a"),
+                F.greatest("new_id", "old_id").alias("b"),
+            )
+            pairs = pairs.unionByName(norm).distinct()
+            involved_old = (
+                cross.select(F.col("old_id").alias(id_col)).distinct()
+            )
+            verify_docs = verify_docs.unionByName(
+                old_reps.join(involved_old, id_col, "left_semi").select(id_col, text_col)
+            )
+        verified = dedup.ngram_jaccard_pairs(
+            verify_docs, threshold=jaccard_threshold, text_col=text_col,
+            candidates=pairs,
+        ).select("a", "b").cache()
+
+        # new docs matching ANY historical rep are dropped outright (the
+        # historical doc stays canonical); survivors cluster in-batch
+        fresh_ids = fresh.select(id_col)
+        matched_hist = None
+        if cross is not None:
+            hist_pairs = verified.join(
+                fresh_ids.withColumnRenamed(id_col, "a"), "a", "left_semi"
+            ).join(fresh_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+            # a pair where BOTH sides are fresh is in-batch; others are cross
+            in_batch_v = hist_pairs
+            cross_v = verified.exceptAll(hist_pairs)
+            matched_hist = (
+                cross_v.select(F.col("a").alias(id_col))
+                .unionByName(cross_v.select(F.col("b").alias(id_col)))
+                .join(fresh_ids, id_col, "left_semi")
+                .distinct()
+            )
+        else:
+            in_batch_v = verified
+        survivors = fresh
+        if matched_hist is not None:
+            survivors = survivors.join(matched_hist, id_col, "left_anti")
+        clusters = dedup.near_dup_clusters(survivors, in_batch_v, id_col)
+        reps = (
+            survivors.join(clusters, id_col)
+            .filter(F.col(id_col) == F.col("cluster_id"))
+            .drop("cluster_id")
+            .cache()
+        )
+        metrics["n_after_near_dedup"] = reps.count()
+
+        # 3. decontamination (stateless vs the benchmark set)
+        clean = reps
+        if bench is not None:
+            clean = clean.join(
+                datasets.decontaminate(
+                    clean, bench, n=decontam_n, id_col=id_col, text_col=text_col
+                ).select(id_col),
+                id_col,
+                "left_anti",
+            ).cache()
+            metrics["n_after_decontam"] = clean.count()
+
+        # 4. LM filter against the persisted reference model (trained on
+        # the first batch's survivors; later batches score against the
+        # same distribution instead of drifting with each batch)
+        big, uni = self._table(self.p_lm_big), self._table(self.p_lm_uni)
+        if big is None or uni is None:
+            model = lm.train_bigram_lm(clean, id_col, text_col)
+            model.bigrams.write.mode("overwrite").parquet(self.p_lm_big)
+            model.unigrams.write.mode("overwrite").parquet(self.p_lm_uni)
+            model = lm.BigramLM(
+                self.spark.read.parquet(self.p_lm_big),
+                self.spark.read.parquet(self.p_lm_uni),
+                model.vocab_size,
+            )
+        else:
+            model = lm.BigramLM(big, uni, uni.count())
+        scored = clean.join(
+            lm.lm_score(clean, model, id_col=id_col, text_col=text_col).select(
+                id_col, "avg_logp"
+            ),
+            id_col,
+            "left",
+        ).cache()
+        if lm_quantile > 0:
+            [cutoff] = scored.filter(F.col("avg_logp").isNotNull()).approxQuantile(
+                "avg_logp", [lm_quantile], 0.001
+            ) or [None]
+            if cutoff is not None:
+                scored = scored.filter(
+                    F.col("avg_logp").isNull() | (F.col("avg_logp") >= cutoff)
+                )
+            metrics["lm_cutoff"] = cutoff
+        # sever lineage BEFORE the state appends below: the accepted set's
+        # plan anti-joins the text_hashes parquet this method is about to
+        # append to, so a lazily re-evaluated result DataFrame would see
+        # its own batch's hashes and come back empty (observed — Spark
+        # invalidates relation caches on a path when writing through it)
+        accepted = scored.localCheckpoint(eager=True)
+        metrics["n_accepted"] = accepted.count()
+
+        curated = datasets.hash_split(accepted, splits, id_col=id_col)
+        metrics["split_counts"] = {
+            r["split"]: r["n"]
+            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+
+        # 5. commit state LAST (append-after-compute; a crash above
+        # reprocesses this batch idempotently)
+        batch_hashes.write.mode("append").parquet(self.p_hashes)
+        accepted.select(id_col, text_col).write.mode("append").parquet(self.p_reps)
+        new_b.join(accepted.select(id_col), "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(self.p_buckets)
+        return CurationResult(curated, metrics)

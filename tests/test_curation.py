@@ -73,3 +73,55 @@ def test_curate_no_bench_keeps_short_docs(spark):
     rows = {r["doc_id"]: r["avg_logp"] for r in res.curated.collect()}
     assert set(rows) == {0, 1, 2}
     assert rows[0] is None and rows[2] is not None
+
+
+def test_curation_checkpoint_incremental(spark, tmp_path):
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega last"
+    )
+    b1 = spark.createDataFrame(
+        [(0, base)]
+        + [
+            (i, f"batch one doc {i} about spark partitions shuffle joins and aggregation variant {i}")
+            for i in range(1, 12)
+        ],
+        ["doc_id", "text"],
+    )
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    r1 = cp.run(b1, lm_quantile=0.0, jaccard_threshold=0.7)
+    assert r1.metrics["n_batch"] == 12
+    assert r1.metrics["n_fresh"] == 12
+    assert r1.metrics["n_accepted"] == 12
+    accepted1 = {r["doc_id"] for r in r1.curated.select("doc_id").collect()}
+    assert accepted1 == set(range(12))
+
+    b2 = spark.createDataFrame(
+        [
+            (100, base),                                  # exact copy of doc 0 -> hash-dropped
+            (101, base.replace("sigma", "sigmaprime")),   # near-dup of doc 0 -> cross-batch dropped
+            (102, "an entirely new document about watermarking streaming state and windows"),
+            (103, "an entirely new document about watermarking streaming state and windows"),  # in-batch exact dup of 102
+        ],
+        ["doc_id", "text"],
+    )
+    r2 = cp.run(b2, lm_quantile=0.0, jaccard_threshold=0.7)
+    assert r2.metrics["n_batch"] == 4
+    # 100 exact-dropped vs history, 103 in-batch exact dup -> 2 fresh
+    assert r2.metrics["n_fresh"] == 2
+    # 101 matches historical rep 0 via the persisted bucket index
+    assert r2.metrics["n_after_near_dedup"] == 1
+    assert {r["doc_id"] for r in r2.curated.select("doc_id").collect()} == {102}
+
+    # batch 3: exact copy of the REJECTED doc 101 -> still dropped (hash
+    # memory covers rejected docs too)
+    b3 = spark.createDataFrame([(200, base.replace("sigma", "sigmaprime"))], ["doc_id", "text"])
+    r3 = cp.run(b3, lm_quantile=0.0, jaccard_threshold=0.7)
+    assert r3.metrics["n_fresh"] == 0
+    assert r3.curated.count() == 0
+
+    # parameter drift is refused
+    with pytest.raises(ValueError, match="parameter"):
+        cp.run(b3, bands=2, lm_quantile=0.0)
