@@ -259,3 +259,22 @@ def test_tokenizer_materialized_once_in_text_features(spark, sf_dir):
     for fn in (text.language_id, text.quality_features, text.token_counts):
         opt = fn(docs)._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("split(") == 1, (fn.__name__, opt[:1200])
+
+
+def test_dataset_ops_plan_shapes(spark, sf_dir):
+    """hash_split / stratified_sample are pure narrow column programs (no
+    Exchange anywhere); decontaminate broadcasts the benchmark shingle
+    side."""
+    from neosemantics_spark.operators import datasets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        datasets.hash_split(docs),
+        datasets.stratified_sample(docs, {"en": 0.5}, default_fraction=0.1),
+    ):
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, plan[:1200]
+    dec = datasets.decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    assert has_broadcast(formatted_plan(dec))
