@@ -125,3 +125,37 @@ def test_curation_checkpoint_incremental(spark, tmp_path):
     # parameter drift is refused
     with pytest.raises(ValueError, match="parameter"):
         cp.run(b3, bands=2, lm_quantile=0.0)
+
+
+def test_streaming_curate(spark, tmp_path):
+    from neosemantics_spark.streaming.stream import streaming_curate
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [
+            (0, "first unique streaming document about joins and shuffles in spark"),
+            (1, "second unique streaming document about windows and watermarks today"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_curate(stream, state, out, ck, lm_quantile=0.0)
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()} == {0, 1}
+
+    # second micro-batch: one duplicate of doc 0 (dropped against state),
+    # one genuinely new doc (accepted)
+    spark.createDataFrame(
+        [
+            (2, "first unique streaming document about joins and shuffles in spark"),
+            (3, "third unique streaming document about broadcast joins and skew"),
+        ],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = streaming_curate(stream2, state, out, ck, lm_quantile=0.0)
+    q2.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()} == {0, 1, 3}
