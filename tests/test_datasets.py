@@ -106,3 +106,35 @@ def test_lsh_topk_multiprobe_superset(spark, sf_dir):
     b = {(r["query_id"], r["neighbor_id"]) for r in base.collect()}
     p = {(r["query_id"], r["neighbor_id"]) for r in probed.collect()}
     assert b and b <= p
+
+
+def test_ivf_multi_assignment(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a2 = sim.ivf_assign(emb, n_centroids=8, assign_k=2)
+    rows = a2.collect()
+    n_vecs = emb.count()
+    assert len(rows) == 2 * n_vecs
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    a1 = {r["id"]: r for r in sim.ivf_assign(emb, n_centroids=8).collect()}
+    for vid, pair in by_id.items():
+        pair.sort(key=lambda r: r["assign_rank"])
+        # rank 1 equals the single-assignment argmin; rank 2 is a
+        # DIFFERENT centroid at >= distance
+        assert pair[0]["centroid_id"] == a1[vid]["centroid_id"]
+        assert pair[1]["centroid_id"] != pair[0]["centroid_id"]
+        assert pair[1]["dist"] >= pair[0]["dist"]
+
+
+def test_ivf_topk_multi_assign_no_duplicates_and_superset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(4))
+    base = sim.ivf_topk(emb, qids, k=10**6, n_centroids=8, n_probe=2)
+    multi = sim.ivf_topk(emb, qids, k=10**6, n_centroids=8, n_probe=2, assign_k=2)
+    mrows = multi.collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in mrows]
+    assert len(pairs) == len(set(pairs))  # deduped despite replication
+    b = {(r["query_id"], r["neighbor_id"]) for r in base.collect()}
+    # replication only ADDS reachable candidates
+    assert b <= set(pairs)
