@@ -224,8 +224,22 @@ class CurationCheckpoint:
                 F.sha2(F.col(text_col), 256) == F.col("_oh"),
                 "left_anti",
             )
+            # only genuinely-new hashes are appended below — resubmitted
+            # batches must not grow the state table
+            batch_hashes = batch_hashes.join(old_hashes, "text_hash", "left_anti")
         fresh = kept.cache()
         metrics["n_fresh"] = fresh.count()
+        if metrics["n_fresh"] == 0:
+            # nothing new: n_fresh == 0 implies every batch text is
+            # already in the hash store, so there is no state to append
+            # either — short-circuit the whole downstream DAG
+            metrics["n_after_near_dedup"] = 0
+            metrics["n_accepted"] = 0
+            metrics["split_counts"] = {}
+            empty = batch.limit(0).withColumn(
+                "avg_logp", F.lit(None).cast("double")
+            )
+            return CurationResult(datasets.hash_split(empty, splits, id_col=id_col), metrics)
 
         # 2. near-dup: batch bucket table joins the persisted rep index
         new_b = dedup.lsh_buckets(
@@ -356,7 +370,11 @@ class CurationCheckpoint:
 
         # 5. commit state LAST (append-after-compute; a crash above
         # reprocesses this batch idempotently)
-        batch_hashes.write.mode("append").parquet(self.p_hashes)
+        # new hashes only; materialized first because its anti-join plan
+        # READS the same directory this append writes to
+        batch_hashes.localCheckpoint(eager=True).write.mode("append").parquet(
+            self.p_hashes
+        )
         accepted.select(id_col, text_col).write.mode("append").parquet(self.p_reps)
         new_b.join(accepted.select(id_col), "doc_id", "left_semi").write.mode(
             "append"
