@@ -146,6 +146,16 @@ class CurationCheckpoint:
     Crash safety: state appends happen only after the batch's curated
     output is computed; a crash before the append reprocesses the whole
     batch idempotently (the anti-join sees no new hashes).
+
+    Near-dup policy (deliberate): a new doc matching ANY historical rep
+    is dropped and the historical doc stays canonical — accepted docs
+    are never retroactively displaced, so the curated output is
+    append-only. Transitivity does not chain through dropped docs
+    across batches (if A was dropped for matching rep R, a later doc B
+    near-dup of A but not of R survives) — the alternative requires
+    keeping every rejected doc's signature forever; at threshold 0.8
+    the triangle gap is small and the append-only property is worth
+    more.
     """
 
     def __init__(self, spark, root: str):

@@ -186,35 +186,43 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
                         text_col: str = "text",
                         candidates: DataFrame | None = None) -> DataFrame:
     """Exact k-shingle Jaccard for pairs above threshold.
-    Without `candidates`, joins on shared shingles (index join — still not
-    all-pairs; worst case bounded by shingle-posting sizes). With
-    `candidates` (e.g. from MinHash-LSH), the shingle postings are
-    semi-joined down to candidate doc ids BEFORE the posting self-join, so
-    the expensive pair expansion only ever sees candidate documents — the
-    scale path. (A hot shingle over the full corpus would otherwise make
-    the self-join quadratic regardless of the candidate set.)"""
+
+    Without `candidates`, joins on shared shingles (index join — still
+    not all-pairs; worst case bounded by shingle-posting sizes).
+
+    With `candidates` (e.g. from MinHash-LSH) the plan is PAIR-CENTRIC:
+    join each candidate pair with side a's shingle set (key: doc id),
+    then equi-join on (b, shingle) against the postings to count the
+    intersection. Cost is O(candidates × shingles-per-doc) — immune to
+    posting-list skew, unlike the posting self-join, whose pair
+    expansion is Σ|posting|² and explodes on hot shingles even after a
+    candidate semi-join (measured: a 100k-doc corpus with a tiny shared
+    vocabulary spent 158 s in the posting self-join at local[4]; the
+    pair-centric plan is bounded by the candidate count the LSH stage
+    already controls via its bucket cap). Semantics identical — exact
+    intersection counts either way."""
     sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sh_pair = sh
     if candidates is not None:
-        cand_ids = (
-            candidates.select(F.col("a").alias("doc_id"))
-            .union(candidates.select(F.col("b").alias("doc_id")))
-            .distinct()
+        cand = candidates.select("a", "b").distinct()
+        a_sh = cand.join(
+            sh.select(F.col("doc_id").alias("a"), "shingle"), "a"
         )
-        # restrict postings to candidate docs FIRST — this semi-join must
-        # precede the self-join (asserted by tests/test_plans.py)
-        sh_pair = sh.join(cand_ids, "doc_id", "left_semi")
-    pair_common = (
-        sh_pair.select(F.col("doc_id").alias("a"), "shingle")
-        .join(sh_pair.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
-    if candidates is not None:
-        # exact-pair restriction (cheap now: both sides candidate-only)
-        pair_common = pair_common.join(candidates, ["a", "b"], "left_semi")
+        pair_common = (
+            a_sh.join(
+                sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        pair_common = (
+            sh.select(F.col("doc_id").alias("a"), "shingle")
+            .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
     out = (
         pair_common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
