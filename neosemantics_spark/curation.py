@@ -295,9 +295,18 @@ class CurationCheckpoint:
         fresh_ids = fresh.select(id_col)
         matched_hist = None
         if cross is not None:
-            hist_pairs = verified.join(
-                fresh_ids.withColumnRenamed(id_col, "a"), "a", "left_semi"
-            ).join(fresh_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+            # re-select (a, b) explicitly: the semi-joins move the join
+            # key first (column order becomes (b, a)) and exceptAll
+            # compares POSITIONALLY — without this, no pair ever
+            # subtracts and every in-batch pair is misread as a
+            # historical match (caught by the no-chaining test)
+            hist_pairs = (
+                verified.join(
+                    fresh_ids.withColumnRenamed(id_col, "a"), "a", "left_semi"
+                )
+                .join(fresh_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+                .select("a", "b")
+            )
             # a pair where BOTH sides are fresh is in-batch; others are cross
             in_batch_v = hist_pairs
             cross_v = verified.exceptAll(hist_pairs)
@@ -312,6 +321,16 @@ class CurationCheckpoint:
         survivors = fresh
         if matched_hist is not None:
             survivors = survivors.join(matched_hist, id_col, "left_anti")
+            # cluster SURVIVOR-survivor pairs only: a history-matched doc
+            # must not carry its in-batch neighbors away with it — if it
+            # were a cluster's min id, the cluster would keep NO
+            # representative (docs dropped with nothing accepted standing
+            # for them). This is the documented no-chaining-through-
+            # dropped-docs policy applied in-batch.
+            sids = survivors.select(id_col)
+            in_batch_v = in_batch_v.join(
+                sids.withColumnRenamed(id_col, "a"), "a", "left_semi"
+            ).join(sids.withColumnRenamed(id_col, "b"), "b", "left_semi")
         clusters = dedup.near_dup_clusters(survivors, in_batch_v, id_col)
         reps = (
             survivors.join(clusters, id_col)

@@ -93,20 +93,42 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, seed, minhash): minhash_i = min over shingles of
     md5(i || '|' || shingle) — lexicographic min of hex strings.
-    Plan: explode(shingles) × explode(seeds) → groupBy min (partial agg
-    makes the shuffle tiny: num_hashes rows per doc)."""
-    sh = shingle_rows(docs, k, text_col)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = sh.select(
-        "doc_id",
-        F.explode(seeds).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+
+    Plan: one shingle row carries all `num_hashes` md5s as WIDE columns,
+    aggregated by num_hashes parallel min()s, then unpivoted to (seed,
+    minhash) rows. The earlier explode(seeds) formulation duplicated
+    every shingle string num_hashes× through a generator (at 500k docs:
+    188M rows of shingle text) — allocation/bandwidth-bound, measured
+    FLAT from 4 to 16 cores; the wide-agg shape is the same one the LSH
+    plane projection already uses (lsh_bucket_table). Output values are
+    byte-identical — same md5 inputs, same mins.
+
+    The NARROW (doc_id, shingle) rows are repartitioned by doc_id before
+    the md5 projection: without it every input partition sees nearly the
+    whole doc-id space, so each task's partial-agg hash map holds
+    ~n_docs × num_hashes wide strings and spills to a sort-based
+    fallback (measured: 98 s for the aggregation vs 14 s for the md5
+    compute itself at 500k docs, local[16]). Co-locating each doc's
+    shingles first costs one shuffle of the narrow rows and shrinks the
+    agg state to (docs/partitions) keys; AQE coalesces the exchange at
+    small inputs."""
+    sh = shingle_rows(docs, k, text_col).repartition(F.col("doc_id"))
+    hashes = [
+        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    g = sh.select("doc_id", *hashes).groupBy("doc_id").agg(
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)]
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    per_seed = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"_m{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ]
+    )
+    return g.select("doc_id", F.explode(per_seed).alias("sm")).select(
+        "doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
+    )
 
 
 def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
@@ -168,15 +190,17 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
     """Candidate near-duplicate pairs (a < b) sharing ≥1 LSH bucket.
 
     Plan note (measured, sf0.1 local[32], 5k docs, 8 hashes): the
-    explode(shingles)×explode(seeds) → partial-agg formulation used here
+    original explode(shingles)×explode(seeds) → partial-agg formulation
     took 6.7 s; an in-row zero-shuffle variant (array_min over
     F.transform per seed) took 31.7 s and a single-pass F.aggregate +
     zip_with(least) variant 16.6 s — Spark's higher-order functions run
-    interpreted (no whole-stage codegen), so avoiding the tiny
-    (num_hashes rows/doc after map-side combine) shuffle LOSES to staying
-    inside codegen. Keeping the explode plan is deliberate. (All three
-    numbers predate the shingle_rows tokenizer materialization, which cut
-    the kept plan to 3.4 s steady-state — the ranking is unaffected.)"""
+    interpreted (no whole-stage codegen), so a plan that avoids the
+    shuffle by computing in-row LOSES to staying inside codegen. The
+    current shape (tokenizer materialized, wide md5 columns, narrow-row
+    repartition by doc before the agg — see minhash_signatures) keeps
+    the codegen property and fixes the two large-corpus pathologies:
+    2.0 s steady-state at sf0.1, ~60 s for 500k docs / 30M candidate
+    pairs at local[16] (was 283 s)."""
     b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
     return bucket_pairs(b, ["band", "bucket"], "doc_id")
 
@@ -204,16 +228,42 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
     sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
-        cand = candidates.select("a", "b").distinct()
-        a_sh = cand.join(
-            sh.select(F.col("doc_id").alias("a"), "shingle"), "a"
+        # each doc's shingles become ONE row holding the sorted set of
+        # 8-byte xxhash64s (same counts as string shingles; a 64-bit
+        # collision inside a ~10²-element set is ~2⁻⁵⁴ — immaterial);
+        # the intersection is then size(array_intersect(a_set, b_set))
+        # per candidate pair. Two earlier shapes died at 500k docs /
+        # 25M candidate pairs (BASELINE.md): the shingle-keyed posting
+        # self-join is Σ|posting|² on hot shingles (1400 s at local[4]),
+        # and a row-per-(pair, shingle) equi-join + groupBy(a, b) counts
+        # 1.2B rows through a partial-agg whose per-task map holds every
+        # pair key and spills (~280 s, flat across cores). The set form
+        # shuffles each pair's two fixed-width arrays instead and does
+        # the counting in-row — no billion-row aggregation exists.
+        # The narrow repartition before collect_set mirrors
+        # minhash_signatures (small per-task agg state).
+        sets = (
+            sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+            .repartition(F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("sh_h")).alias("sh_set"))
         )
+        cand = candidates.select("a", "b").distinct()
         pair_common = (
-            a_sh.join(
-                sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
+            cand.join(
+                sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("_sa")),
+                "a",
             )
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("common"))
+            .join(
+                sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("_sb")),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_sa", "_sb")).alias("common"),
+            )
+            .filter(F.col("common") > 0)
         )
     else:
         pair_common = (

@@ -159,3 +159,32 @@ def test_streaming_curate(spark, tmp_path):
     q2 = streaming_curate(stream2, state, out, ck, lm_quantile=0.0)
     q2.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()} == {0, 1, 3}
+
+
+def test_incremental_no_chaining_through_dropped_docs(spark, tmp_path):
+    """A history-matched (dropped) doc must not drag its in-batch
+    near-dup neighbors down with it: if the dropped doc were the cluster
+    min, the cluster would keep NO representative. Policy: survivors
+    cluster among themselves only."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while a busy crew "
+        "loads data into one big table before our nightly batch run starts"
+    )
+    a_text = base.replace("lazy", "rapid")              # ~0.77 vs base
+    b_text = a_text.replace("before", "ahead")          # ~0.77 vs A, ~0.59 vs base
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    r1 = cp.run(
+        spark.createDataFrame([(0, base)], ["doc_id", "text"]),
+        lm_quantile=0.0, jaccard_threshold=0.7,
+    )
+    assert r1.metrics["n_accepted"] == 1
+
+    r2 = cp.run(
+        spark.createDataFrame([(10, a_text), (11, b_text)], ["doc_id", "text"]),
+        lm_quantile=0.0, jaccard_threshold=0.7,
+    )
+    # doc 10 matches historical rep 0 -> dropped; doc 11 is near 10 but
+    # NOT near 0 -> must survive as its own representative
+    assert {r["doc_id"] for r in r2.curated.select("doc_id").collect()} == {11}
