@@ -58,6 +58,13 @@ def curate_corpus(
       way) with a null score.
     - split: deterministic md5-prefix train/val/test assignment.
     """
+    # the dedup/LSH operators key on 'doc_id'; normalize and rename back
+    out_id = id_col
+    if id_col != "doc_id":
+        if "doc_id" in docs.columns:
+            raise ValueError(f"docs has both a 'doc_id' column and id_col={id_col!r}")
+        docs = docs.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
     metrics: dict = {"n_input": docs.count()}
 
     kept = dedup.dedup_exact(docs, text_col).cache()
@@ -111,6 +118,8 @@ def curate_corpus(
         r["split"]: r["n"]
         for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+    if out_id != "doc_id":
+        curated = curated.withColumnRenamed("doc_id", out_id)
     return CurationResult(curated, metrics)
 
 
@@ -136,16 +145,32 @@ class CurationCheckpoint:
       the accepted reps. A new batch's buckets equi-join against it, so
       cross-batch candidate generation never rescans or re-hashes the
       historical corpus — the state IS the index.
-    - `lm_bigrams` / `lm_unigrams` / `lm_meta` — the persisted bigram LM
-      (trained on the first batch's survivors, reusable so later batches
-      are scored against a STABLE reference distribution).
-    - `meta.json`    — curation parameter fingerprint; a state directory
-      is refused under different parameters (a changed shingle size or
-      band count silently invalidates the bucket index otherwise).
+    - `lm_bigrams` / `lm_unigrams` — the persisted bigram LM (trained on
+      the first batch's survivors, reusable so later batches are scored
+      against a STABLE reference distribution); its vocab size is stored
+      in `meta.json` so later batches pay no extra count() job.
+    - `meta.json`    — curation parameter fingerprint (+ LM vocab size);
+      a state directory is refused under different parameters (a changed
+      shingle size or band count silently invalidates the bucket index
+      otherwise).
 
-    Crash safety: state appends happen only after the batch's curated
-    output is computed; a crash before the append reprocesses the whole
-    batch idempotently (the anti-join sees no new hashes).
+    Crash safety — batch-scoped commits (the plain-parquet analogue of
+    an Iceberg transaction): each state table is a directory of
+    `batch=<fingerprint>` subdirectories, and readers only scan
+    subdirectories whose fingerprint has a marker file under
+    `commits/`. A batch's appends go to its own subdirectories
+    (mode=overwrite, so a replay cleanly replaces a partial write), and
+    the marker is renamed into place ATOMICALLY only after hashes, reps,
+    and buckets have all been written. A crash anywhere mid-batch
+    leaves the committed state exactly as it was — the replayed batch
+    sees none of its own partial output (same fingerprint → same
+    subdirs → overwritten), recomputes, and commits once. This removes
+    the partial-append window where a batch's hashes landed but its
+    reps/buckets did not, which would have silently dropped the batch's
+    accepted docs from all future state joins. The batch fingerprint is
+    derived from the batch's distinct text-hash set (order-independent
+    bit_xor + count), so it is deterministic across replays and
+    engines.
 
     Near-dup policy (deliberate): a new doc matching ANY historical rep
     is dropped and the historical doc stays canonical — accepted docs
@@ -169,30 +194,97 @@ class CurationCheckpoint:
         self.p_lm_big = os.path.join(root, "lm_bigrams")
         self.p_lm_uni = os.path.join(root, "lm_unigrams")
         self.p_meta = os.path.join(root, "meta.json")
+        self.p_commits = os.path.join(root, "commits")
+
+    def _committed(self) -> list[str]:
+        import os
+
+        try:
+            return sorted(
+                f for f in os.listdir(self.p_commits) if not f.startswith(".")
+            )
+        except FileNotFoundError:
+            return []
 
     def _table(self, path: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — not created yet
-            return None
+        """Read a state table's COMMITTED batch subdirectories only — an
+        uncommitted (crashed-mid-batch) subdirectory is invisible, which
+        is what makes the whole batch replayable."""
+        import os
 
-    def _check_meta(self, params: dict) -> None:
+        parts = [
+            os.path.join(path, f"batch={bid}")
+            for bid in self._committed()
+            if os.path.isdir(os.path.join(path, f"batch={bid}"))
+        ]
+        if not parts:
+            return None
+        return self.spark.read.parquet(*parts)
+
+    def _batch_dir(self, path: str, batch_id: str) -> str:
+        import os
+
+        return os.path.join(path, f"batch={batch_id}")
+
+    def _lm_tables(self) -> tuple[DataFrame | None, DataFrame | None]:
+        """The LM tables are write-once (trained on the first batch's
+        survivors), not batch-scoped: a crash between the LM write and
+        the batch commit leaves a model trained on exactly the survivors
+        the deterministic replay recomputes, so reusing it is safe."""
+
+        def rd(path: str) -> DataFrame | None:
+            try:
+                return self.spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 — not created yet
+                return None
+
+        return rd(self.p_lm_big), rd(self.p_lm_uni)
+
+    def _commit(self, batch_id: str) -> None:
+        """Atomically publish a batch: rename a temp marker into
+        `commits/<batch_id>`. rename(2) is atomic on POSIX; on an object
+        store this is one Iceberg snapshot commit instead."""
+        import os
+
+        os.makedirs(self.p_commits, exist_ok=True)
+        tmp = os.path.join(self.p_commits, f".tmp-{batch_id}")
+        with open(tmp, "w") as fh:
+            fh.write(batch_id)
+        os.rename(tmp, os.path.join(self.p_commits, batch_id))
+
+    def _read_meta(self) -> dict | None:
         import json
         import os
 
-        if os.path.exists(self.p_meta):
-            with open(self.p_meta) as fh:
-                stored = json.load(fh)
-            if stored != params:
+        if not os.path.exists(self.p_meta):
+            return None
+        with open(self.p_meta) as fh:
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        import json
+        import os
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.p_meta + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, self.p_meta)
+
+    def _check_meta(self, params: dict) -> dict:
+        stored = self._read_meta()
+        if stored is not None:
+            if stored.get("params") != params:
                 raise ValueError(
                     f"Curation state at {self.root} was built with "
-                    f"{stored}; refusing to extend it with {params} — the "
-                    "persisted bucket index and LM are parameter-specific."
+                    f"{stored.get('params')}; refusing to extend it with "
+                    f"{params} — the persisted bucket index and LM are "
+                    "parameter-specific."
                 )
-        else:
-            os.makedirs(self.root, exist_ok=True)
-            with open(self.p_meta, "w") as fh:
-                json.dump(params, fh)
+            return stored
+        meta = {"params": params, "lm_vocab_size": None}
+        self._write_meta(meta)
+        return meta
 
     def run(
         self,
@@ -211,7 +303,7 @@ class CurationCheckpoint:
         """Curate one batch against all previously accepted state.
         doc ids must be globally unique across batches (they key the
         persisted rep/bucket tables)."""
-        self._check_meta(
+        meta = self._check_meta(
             {
                 "num_hashes": num_hashes,
                 "bands": bands,
@@ -220,6 +312,18 @@ class CurationCheckpoint:
                 "k_shingle": 3,
             }
         )
+        # normalize the id column: the dedup/LSH operators and the
+        # persisted state tables key on 'doc_id' (a stable state schema
+        # regardless of the caller's column name); rename back on return
+        out_id = id_col
+        if id_col != "doc_id":
+            if "doc_id" in batch.columns:
+                raise ValueError(
+                    f"batch has both a 'doc_id' column and id_col={id_col!r}"
+                )
+            batch = batch.withColumnRenamed(id_col, "doc_id")
+            id_col = "doc_id"
+
         metrics: dict = {"n_batch": batch.count()}
 
         # 1. exact dedup: in-batch, then against every hash ever seen
@@ -227,6 +331,17 @@ class CurationCheckpoint:
         batch_hashes = batch.select(
             F.sha2(F.col(text_col), 256).alias("text_hash")
         ).distinct()
+        # deterministic order-independent batch fingerprint: the commit
+        # id under which this batch's state appends are published (a
+        # replay of the same batch maps to the same subdirectories and
+        # overwrites any uncommitted partial write)
+        fp = batch_hashes.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(text_hash))").alias("x"),
+        ).first()
+        batch_id = f"{fp['n']}-{(fp['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        metrics["batch_id"] = batch_id
+
         old_hashes = self._table(self.p_hashes)
         if old_hashes is not None:
             kept = kept.join(
@@ -234,8 +349,8 @@ class CurationCheckpoint:
                 F.sha2(F.col(text_col), 256) == F.col("_oh"),
                 "left_anti",
             )
-            # only genuinely-new hashes are appended below — resubmitted
-            # batches must not grow the state table
+            # only genuinely-new hashes are recorded for this batch —
+            # resubmitted documents must not grow the state table
             batch_hashes = batch_hashes.join(old_hashes, "text_hash", "left_anti")
         fresh = kept.cache()
         metrics["n_fresh"] = fresh.count()
@@ -249,7 +364,10 @@ class CurationCheckpoint:
             empty = batch.limit(0).withColumn(
                 "avg_logp", F.lit(None).cast("double")
             )
-            return CurationResult(datasets.hash_split(empty, splits, id_col=id_col), metrics)
+            curated = datasets.hash_split(empty, splits, id_col=id_col)
+            if out_id != "doc_id":
+                curated = curated.withColumnRenamed("doc_id", out_id)
+            return CurationResult(curated, metrics)
 
         # 2. near-dup: batch bucket table joins the persisted rep index
         new_b = dedup.lsh_buckets(
@@ -355,18 +473,23 @@ class CurationCheckpoint:
         # 4. LM filter against the persisted reference model (trained on
         # the first batch's survivors; later batches score against the
         # same distribution instead of drifting with each batch)
-        big, uni = self._table(self.p_lm_big), self._table(self.p_lm_uni)
+        big, uni = self._lm_tables()
         if big is None or uni is None:
             model = lm.train_bigram_lm(clean, id_col, text_col)
             model.bigrams.write.mode("overwrite").parquet(self.p_lm_big)
             model.unigrams.write.mode("overwrite").parquet(self.p_lm_uni)
+            # vocab size rides in meta.json so later batches skip the
+            # count() job (the docstring's lm_meta — one scalar, no table)
+            meta["lm_vocab_size"] = model.vocab_size
+            self._write_meta(meta)
             model = lm.BigramLM(
                 self.spark.read.parquet(self.p_lm_big),
                 self.spark.read.parquet(self.p_lm_uni),
                 model.vocab_size,
             )
         else:
-            model = lm.BigramLM(big, uni, uni.count())
+            vs = meta.get("lm_vocab_size")
+            model = lm.BigramLM(big, uni, vs if vs is not None else uni.count())
         scored = clean.join(
             lm.lm_score(clean, model, id_col=id_col, text_col=text_col).select(
                 id_col, "avg_logp"
@@ -383,11 +506,12 @@ class CurationCheckpoint:
                     F.col("avg_logp").isNull() | (F.col("avg_logp") >= cutoff)
                 )
             metrics["lm_cutoff"] = cutoff
-        # sever lineage BEFORE the state appends below: the accepted set's
-        # plan anti-joins the text_hashes parquet this method is about to
-        # append to, so a lazily re-evaluated result DataFrame would see
-        # its own batch's hashes and come back empty (observed — Spark
-        # invalidates relation caches on a path when writing through it)
+        # sever lineage BEFORE the state writes below: the accepted set's
+        # plan anti-joins the committed text_hashes parquet, and writing
+        # under the same state root must not lazily re-evaluate the
+        # result DataFrame against refreshed file listings (observed —
+        # Spark invalidates relation caches on a path when writing
+        # through it)
         accepted = scored.localCheckpoint(eager=True)
         metrics["n_accepted"] = accepted.count()
 
@@ -397,15 +521,23 @@ class CurationCheckpoint:
             for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
         }
 
-        # 5. commit state LAST (append-after-compute; a crash above
-        # reprocesses this batch idempotently)
-        # new hashes only; materialized first because its anti-join plan
-        # READS the same directory this append writes to
-        batch_hashes.localCheckpoint(eager=True).write.mode("append").parquet(
-            self.p_hashes
+        # 5. publish state under this batch's fingerprint, then commit
+        # atomically. Writes go to batch=<id> subdirectories invisible to
+        # readers until the marker lands; overwrite mode makes a replay
+        # of a crashed batch replace its own partial output instead of
+        # duplicating it. Only after ALL three tables are written does
+        # the commit marker make them visible at once — there is no
+        # ordering window where hashes are live but reps/buckets are not.
+        batch_hashes.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self._batch_dir(self.p_hashes, batch_id)
         )
-        accepted.select(id_col, text_col).write.mode("append").parquet(self.p_reps)
+        accepted.select(id_col, text_col).write.mode("overwrite").parquet(
+            self._batch_dir(self.p_reps, batch_id)
+        )
         new_b.join(accepted.select(id_col), "doc_id", "left_semi").write.mode(
-            "append"
-        ).parquet(self.p_buckets)
+            "overwrite"
+        ).parquet(self._batch_dir(self.p_buckets, batch_id))
+        self._commit(batch_id)
+        if out_id != "doc_id":
+            curated = curated.withColumnRenamed("doc_id", out_id)
         return CurationResult(curated, metrics)

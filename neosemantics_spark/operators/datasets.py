@@ -77,20 +77,29 @@ def decontaminate(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, shared_shingles) for every training document that shares
     at least one word n-gram with the benchmark set — the rows a
     pretraining build drops (or audits) before training.
 
-    Plan shape for 100 TB: the benchmark's distinct shingles are a small
-    relation (eval sets are fixed-size; the corpus is not) → broadcast
-    hash join against the exploded training shingles, which aggregate
-    map-side per doc. The training table is scanned once, narrow until
-    the explode, and nothing wider than (id, shingle) is ever shuffled.
-    If the bench side ever outgrows broadcast, Spark's size estimate
-    (AQE) demotes it to a shuffled hash join with the same semantics."""
+    Plan shape for 100 TB: the benchmark's distinct shingles are usually
+    a small relation (eval sets are fixed-size; the corpus is not) →
+    broadcast hash join against the exploded training shingles, which
+    aggregate map-side per doc. The training table is scanned once,
+    narrow until the explode, and nothing wider than (id, shingle) is
+    ever shuffled. The broadcast hint is SIZE-GATED (same pattern as
+    `cc.apply_components`): an explicit `F.broadcast` overrides Spark's
+    size estimates, so an unconditional hint on a multi-GB eval-suite
+    shingle set would force-broadcast it and OOM executors. We count up
+    to `broadcast_limit + 1` shingles (a bounded job — the scan stops at
+    the limit) and only hint when genuinely small; above the limit the
+    join strategy is left to Catalyst/AQE (shuffled hash join, same
+    semantics)."""
     train_sh = shingle_set(train, n, id_col, text_col)
-    bench_sh = F.broadcast(shingle_set(bench, n, id_col, text_col).select("shingle").distinct())
+    bench_sh = shingle_set(bench, n, id_col, text_col).select("shingle").distinct()
+    small = bench_sh.limit(broadcast_limit + 1).count() <= broadcast_limit
+    bench_sh = F.broadcast(bench_sh) if small else bench_sh
     return (
         train_sh.join(bench_sh, "shingle")
         .groupBy(F.col("id").alias(id_col))
@@ -98,19 +107,34 @@ def decontaminate(
     )
 
 
+def _hex_cutoff(cut_int: int, digits: int) -> str:
+    """Exclusive upper-bound cutoff comparable lexicographically against
+    any `digits`-wide lowercase hex prefix. For cut_int >= 16**digits the
+    bound must admit EVERY prefix including 'ff…f', so we emit the
+    sentinel 'ff…fg': a `digits`-char hex prefix is either < 'ff…f' at
+    some position or equals it and is the shorter string — both compare
+    below the sentinel — keeping `prefix < cutoff` ≡ numeric comparison
+    in any engine (Spark, DuckDB, plain Python)."""
+    space = 16**digits
+    if cut_int >= space:
+        return "f" * digits + "g"
+    return format(max(cut_int, 0), "x").rjust(digits, "0")
+
+
 def split_thresholds(weights: dict[str, float], digits: int = 4) -> list[tuple[str, str]]:
     """[(split_name, hex_cutoff)] — cumulative md5-prefix cutoffs for
     `hash_split`. With digits=4 the id space is cut at 1/65536
     granularity; cutoffs are zero-padded hex strings so lexicographic
-    comparison equals numeric comparison in any engine."""
+    comparison equals numeric comparison in any engine. The final cutoff
+    (cumulative weight 1.0) is the sentinel 'ff…fg' (see `_hex_cutoff`),
+    which every `digits`-wide hex prefix compares below."""
     total = sum(weights.values())
     space = 16**digits
     acc = 0.0
     out = []
     for name, w in weights.items():
         acc += w / total
-        cut = format(min(space, int(round(acc * space))), "x").rjust(digits, "0")
-        out.append((name, cut))
+        out.append((name, _hex_cutoff(int(round(acc * space)), digits)))
     return out
 
 
@@ -151,20 +175,34 @@ def stratified_sample(
     target weights) expressed as a pure filter — predicate-pushdown-able,
     shuffle-free, and reproducible without a seed. Keying the hash on the
     stratum too decorrelates the per-stratum samples (a doc kept in one
-    stratum's 50% says nothing about its fate under another weight)."""
+    stratum's 50% says nothing about its fate under another weight).
+
+    A fraction >= 1.0 means "keep the whole stratum" and emits a plain
+    equality predicate with NO prefix comparison (a 1.0 cutoff does not
+    fit in `digits` hex chars, and 'keep all of this source' is a normal
+    dataset-mixing weight — it must not silently drop rows)."""
     space = 16**digits
     prefix = F.substring(
         F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))),
         1,
         digits,
     )
+
+    def keep_cond(base: Column, frac: float) -> Column | None:
+        cut_int = int(round(frac * space))
+        if cut_int <= 0:
+            return None  # fraction 0: stratum fully dropped
+        if cut_int >= space:
+            return base  # fraction 1: stratum fully kept, no hash test
+        return base & (prefix < F.lit(_hex_cutoff(cut_int, digits)))
+
     expr = None
     for stratum, frac in sorted(fractions.items()):
-        cut = format(min(space, int(round(frac * space))), "x").rjust(digits, "0")
-        cond = (F.col(strata_col) == stratum) & (prefix < F.lit(cut))
-        expr = cond if expr is None else expr | cond
+        cond = keep_cond(F.col(strata_col) == stratum, frac)
+        if cond is not None:
+            expr = cond if expr is None else expr | cond
     if default_fraction > 0:
-        cut = format(min(space, int(round(default_fraction * space))), "x").rjust(digits, "0")
-        others = ~F.col(strata_col).isin(list(fractions)) & (prefix < F.lit(cut))
-        expr = others if expr is None else expr | others
+        others = keep_cond(~F.col(strata_col).isin(list(fractions)), default_fraction)
+        if others is not None:
+            expr = others if expr is None else expr | others
     return df.filter(expr if expr is not None else F.lit(False))

@@ -188,3 +188,68 @@ def test_incremental_no_chaining_through_dropped_docs(spark, tmp_path):
     # doc 10 matches historical rep 0 -> dropped; doc 11 is near 10 but
     # NOT near 0 -> must survive as its own representative
     assert {r["doc_id"] for r in r2.curated.select("doc_id").collect()} == {11}
+
+
+def test_checkpoint_crash_before_commit_replays_idempotently(spark, tmp_path):
+    """Batch-scoped commit protocol: if a batch crashes AFTER its state
+    subdirectories are written but BEFORE the commit marker lands, the
+    committed state is untouched (readers never see uncommitted dirs)
+    and a replay of the same batch recomputes it, overwrites its own
+    partial output, and commits exactly once — no duplicated reps, no
+    hash-without-reps window (the round-3 partial-append bug class)."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    b1 = spark.createDataFrame(
+        [(i, f"committed batch doc {i} spark shuffle join agg variant {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(10, "a post crash document about watermark state and recovery"),
+         (11, "another post crash document about bucket index replay")],
+        ["doc_id", "text"],
+    )
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    cp.run(b1, lm_quantile=0.0)
+
+    crashing = CurationCheckpoint(spark, str(tmp_path / "state"))
+    crashing._commit = lambda bid: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        crashing.run(b2, lm_quantile=0.0)
+    # committed state still shows only batch 1
+    assert {r["doc_id"] for r in cp._table(cp.p_reps).select("doc_id").collect()} == set(range(5))
+
+    # replay of the SAME batch converges: full output, state consistent
+    r2 = cp.run(b2, lm_quantile=0.0)
+    assert {r["doc_id"] for r in r2.curated.select("doc_id").collect()} == {10, 11}
+    reps = cp._table(cp.p_reps)
+    assert reps.filter(F.col("doc_id").isin(10, 11)).count() == 2
+    assert reps.count() == 7  # no duplicated rows from the crashed attempt
+    # every accepted rep is present in the bucket index (the invariant
+    # the old append ordering could break)
+    buck_ids = {r["doc_id"] for r in cp._table(cp.p_buckets).select("doc_id").distinct().collect()}
+    assert {10, 11} <= buck_ids
+    # and both state batches are committed exactly once
+    assert len(cp._committed()) == 2
+
+
+def test_checkpoint_custom_id_col(spark, tmp_path):
+    """id_col is honored end-to-end: state keys on 'doc_id' internally,
+    the returned curated frame carries the caller's column name."""
+    from neosemantics_spark.curation import CurationCheckpoint, curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "custom id column doc about spark joins and shuffles"),
+         (2, "custom id column doc about spark joins and shuffles"),  # exact dup
+         (3, "a different custom id document about windows and state")],
+        ["page_id", "text"],
+    )
+    res = curate_corpus(docs, None, lm_quantile=0.0, id_col="page_id")
+    assert {r["page_id"] for r in res.curated.select("page_id").collect()} == {1, 3}
+
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    r1 = cp.run(docs, lm_quantile=0.0, id_col="page_id")
+    assert "page_id" in r1.curated.columns and "doc_id" not in r1.curated.columns
+    assert {r["page_id"] for r in r1.curated.select("page_id").collect()} == {1, 3}
+    # resubmission is a no-op through the hash state
+    r2 = cp.run(docs, lm_quantile=0.0, id_col="page_id")
+    assert r2.metrics["n_fresh"] == 0 and "page_id" in r2.curated.columns

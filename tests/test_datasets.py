@@ -64,7 +64,29 @@ def test_hash_split_deterministic_partition(spark):
 
 def test_split_thresholds_cumulative():
     cuts = ds.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
-    assert cuts == [("train", "e666"), ("val", "f333"), ("test", "10000")]
+    # final cutoff is the 'ffffg' sentinel: every 4-hex-digit prefix
+    # compares lexicographically below it (the documented contract)
+    assert cuts == [("train", "e666"), ("val", "f333"), ("test", "ffffg")]
+    assert all(f"{p:04x}" < "ffffg" for p in (0, 0xFFFF))
+
+
+def test_stratified_sample_full_fraction_keeps_all(spark):
+    # fraction >= 1.0 must keep the ENTIRE stratum (regression: the 1.0
+    # cutoff formatted to 5 hex digits and lexicographic comparison kept
+    # only ~6% — prefixes starting with '0')
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    assert ds.stratified_sample(df, {"en": 1.0}).count() == 1000
+    # fraction 0.0 drops the stratum entirely
+    assert ds.stratified_sample(df, {"en": 0.0}).count() == 0
+    # default_fraction=1.0 keeps all unlisted strata
+    mixed = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = ds.stratified_sample(mixed, {"en": 0.0}, default_fraction=1.0)
+    assert out.count() == 500 and out.filter("lang = 'de'").count() == 500
 
 
 def test_stratified_sample_rates_and_decorrelation(spark):

@@ -279,3 +279,21 @@ def test_dataset_ops_plan_shapes(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
     )
     assert has_broadcast(formatted_plan(dec))
+    # The hint is size-gated: above the limit no broadcast HINT is
+    # attached (an explicit hint would OVERRIDE size estimates and
+    # force-broadcast an outsized eval-shingle set). Catalyst may still
+    # pick broadcast from its own size estimate on this tiny corpus —
+    # that is the point: the decision returns to the optimizer. Assert
+    # on the analyzed logical plan, where a hint survives as
+    # ResolvedHint/UnresolvedHint.
+    def hinted(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "Hint" in plan
+
+    assert hinted(dec)
+    big = datasets.decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        broadcast_limit=1,
+    )
+    assert not hinted(big)
