@@ -421,10 +421,24 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 top-10 for a mixed rare+common query ('dup' is the
-    discriminative term in the synthetic vocabulary)."""
-    return search.bm25_topk(_docs(spark, sf), "dup merge window", k=10).select(
-        "doc_id", "score", "rank"
-    )
+    discriminative term in the synthetic vocabulary) — served through
+    the PERSISTED index path: postings written partitioned by md5 term
+    bucket, reopened, and queried with bucket partition-pruning + zero
+    per-query scalar jobs (the inline path is covered by pytest)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        search.write_postings(_docs(spark, sf), root, n_buckets=16)
+        idx = search.read_postings(spark, root)
+        out = search.bm25_topk(None, "dup merge window", k=10, index=idx).select(
+            "doc_id", "score", "rank"
+        )
+        # materialize before the index directory disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:

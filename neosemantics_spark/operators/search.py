@@ -10,12 +10,24 @@ programs:
   map-side-combined groupBy; partitioned by term it IS the distributed
   posting-list layout (all of a term's postings co-located), so the
   query-time join below shuffles nothing that isn't already term-keyed.
+- `write_postings` / `read_postings` — the PERSISTED index: postings
+  written partitioned by a deterministic md5 term bucket (`tb`), plus
+  the doclens table and a one-row stats table (N, avgdl). Partitioning
+  by raw term would mint one directory per distinct term (metastore
+  death at web scale); a fixed bucket count keeps the directory fan-out
+  bounded while a query's `tb IN (...)` predicate still prunes the scan
+  to its terms' buckets. The bucket hash is md5-based so any engine
+  (and the driver, for query terms) computes it identically. This
+  mirrors the reference's persisted derived state
+  (ValidatorConfig.java:177-188 stores compiled validator state in the
+  graph rather than recompiling per call).
 - `bm25_topk` — Okapi BM25 over the postings restricted to the query's
-  terms. The term filter is an `isin` pushed into the postings scan
-  (partition pruning when postings are written partitioned by term);
-  document-frequency and corpus stats are two tiny aggregates; the final
-  top-k is `orderBy(...).limit(k)`, which Spark executes as TakeOrdered
-  (per-partition heap + driver merge — no global sort shuffle).
+  terms. The term filter is an `isin` pushed into the postings scan;
+  with a persisted index the bucket filter prunes partitions and the
+  corpus stats come from the stats table instead of two per-query
+  scalar jobs. The final top-k is `orderBy(...).limit(k)`, which Spark
+  executes as TakeOrdered (per-partition heap + driver merge — no
+  global sort shuffle).
 - `top_ngrams` — corpus composition stats: the k most frequent word
   n-grams, a partial-agg groupBy with the same guarded n-gram expansion
   as `datasets.shingle_set`.
@@ -25,13 +37,41 @@ No UDFs anywhere; scoring is arithmetic on codegen'd columns.
 
 from __future__ import annotations
 
+import hashlib
 import re
+from typing import NamedTuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import norm_tokens
 from ..utils import round4
+
+
+class BM25Index(NamedTuple):
+    """A loaded persisted index: postings (term, id, tf, tb) partitioned
+    by tb on disk, doclens (id, dl), and the corpus stats needed by the
+    BM25 formula (read once at index open, not per query)."""
+
+    postings: DataFrame
+    doclens: DataFrame
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the Spark-side bucket expression below: both
+    take the first 8 hex chars of md5(term) as an int mod n_buckets, so
+    a query's terms map to partition values without touching the JVM."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
 
 
 def build_postings(
@@ -53,6 +93,63 @@ def build_postings(
     return postings, doclens
 
 
+def write_postings(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted index under `path`:
+
+    - `postings/` parquet partitioned by `tb` (md5 term bucket) — a
+      query prunes to its terms' buckets via a partition filter, so a
+      3-term query over a 64-bucket index reads at most 3/64ths of the
+      postings (and within a bucket the `term IN` predicate is pushed
+      to parquet row groups).
+    - `doclens/` parquet (id, dl).
+    - `stats/` one-row parquet (n_docs, avgdl, n_buckets) — the two
+      per-query scalar jobs of the index-less path become one `.first()`
+      at index open.
+
+    Append/refresh semantics are whole-index overwrite: an inverted
+    index is a derived artifact rebuilt from the corpus (incremental
+    posting maintenance is a different engine feature; at 100 TB you
+    rebuild per corpus release alongside the curated output)."""
+    postings, doclens = build_postings(docs, id_col, text_col)
+    (
+        postings.withColumn("tb", _term_bucket_col(n_buckets))
+        # co-locate each bucket's postings into its partition directory
+        # in one file per shuffle partition rather than one file per
+        # (task, bucket) pair
+        .repartition(F.col("tb"))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    (
+        doclens.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+    )
+
+
+def read_postings(spark: SparkSession, path: str) -> BM25Index:
+    """Open a persisted index. One tiny stats job; the postings/doclens
+    scans stay lazy until a query runs."""
+    stats = spark.read.parquet(f"{path}/stats").first()
+    return BM25Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doclens=spark.read.parquet(f"{path}/doclens"),
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        n_buckets=int(stats["n_buckets"]),
+    )
+
+
 def tokenize_query(query: str) -> list[str]:
     """Same normalization as `norm_tokens`, driver-side, distinct terms
     in first-seen order."""
@@ -64,13 +161,14 @@ def tokenize_query(query: str) -> list[str]:
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: BM25Index | None = None,
 ) -> DataFrame:
     """(doc_id, score, rank) — Okapi BM25 top-k for a free-text query.
 
@@ -78,20 +176,44 @@ def bm25_topk(
     variant), score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
 
     Plan: postings filtered to the query's terms (scan-pruned `isin`),
-    df per term is a tiny broadcast aggregate, corpus stats (N, avgdl)
-    are one scalar agg job, and the ranking is TakeOrdered — the only
-    shuffle is the (term, id) partial-count combine. Scores are rounded
-    to 4 decimals BEFORE ranking so the rank boundary is deterministic
-    across engines and summation orders."""
+    df per term is a tiny broadcast aggregate, and the ranking is
+    TakeOrdered. With `index` (a persisted `read_postings` handle) the
+    postings scan additionally prunes by the terms' partition buckets
+    and the corpus stats come from the index — zero per-query scalar
+    jobs and no postings rebuild; without it the index is built inline
+    from `docs` (audit mode) at the cost of one narrow corpus scan and
+    two scalar aggregates. An empty corpus (or one where every document
+    tokenizes to zero words, avgdl undefined) returns an empty result
+    rather than dividing by zero. Scores are rounded to 4 decimals
+    BEFORE ranking so the rank boundary is deterministic across engines
+    and summation orders."""
     terms = tokenize_query(query)
     if not terms:
         raise ValueError("query has no indexable terms")
-    postings, doclens = build_postings(docs, id_col, text_col)
-    post_q = postings.filter(F.col("term").isin(terms))
-    stats = doclens.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    if index is not None:
+        buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+        post_q = index.postings.filter(
+            F.col("tb").isin(buckets) & F.col("term").isin(terms)
+        )
+        doclens = index.doclens
+        n_docs, avgdl = index.n_docs, index.avgdl
+    else:
+        if docs is None:
+            raise ValueError("bm25_topk needs either docs or index")
+        postings, doclens = build_postings(docs, id_col, text_col)
+        post_q = postings.filter(F.col("term").isin(terms))
+        stats = doclens.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs = stats["n"]
+        avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+    if n_docs == 0 or not avgdl:
+        # keep the id type of the source rather than guessing a schema
+        return doclens.select(
+            F.col("id").alias(id_col),
+            F.lit(0.0).alias("score"),
+            F.lit(1).cast("int").alias("rank"),
+        ).limit(0)
     dfreq = post_q.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (

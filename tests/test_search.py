@@ -75,3 +75,46 @@ def test_top_ngrams(spark):
     got = [(r["ngram"], r["cnt"]) for r in search.top_ngrams(df, n=2, k=3).collect()]
     # 'a b' x3; then 'b a' / 'b c' / 'b x' all x1 — lexicographic tiebreak
     assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_bm25_empty_corpus_guard(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = search.bm25_topk(empty, "join shuffle")
+    assert out.columns == ["doc_id", "score", "rank"] and out.count() == 0
+    # corpus where every doc tokenizes to zero words (avgdl == 0)
+    blank = spark.createDataFrame([(0, "!!!"), (1, "...")], ["doc_id", "text"])
+    assert search.bm25_topk(blank, "join").count() == 0
+
+
+def test_persisted_index_matches_inline_and_prunes(spark, docs, tmp_path):
+    """The persisted-index path returns the same ranking as the inline
+    path, skips the per-query scalar jobs, and its postings scan carries
+    a partition filter on the term bucket (true partition pruning)."""
+    path = str(tmp_path / "idx")
+    search.write_postings(docs, path, n_buckets=16)
+    idx = search.read_postings(spark, path)
+    assert idx.n_docs == 5 and idx.n_buckets == 16 and idx.avgdl == pytest.approx(22 / 5)
+
+    inline = search.bm25_topk(docs, "join shuffle", k=5).collect()
+    via_idx = search.bm25_topk(None, "join shuffle", k=5, index=idx).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in inline] == [
+        (r["doc_id"], r["score"], r["rank"]) for r in via_idx
+    ]
+
+    # driver-side and Spark-side bucket hashes agree term by term
+    spark_tb = {
+        r["term"]: r["tb"] for r in idx.postings.select("term", "tb").collect()
+    }
+    for t, tb in spark_tb.items():
+        assert search.term_bucket(t, 16) == tb
+
+    # partition pruning: the scan's PartitionFilters mention tb and the
+    # executed plan reads only the queried buckets' directories
+    q = search.bm25_topk(None, "join", k=3, index=idx)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan
+    want = search.term_bucket("join", 16)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and str(want) in m.group(1), plan[:2000]
