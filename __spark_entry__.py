@@ -345,7 +345,16 @@ def q_dedup_exact_kept(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dup_groups(_docs(spark, sf)).select("text_hash", "cnt", "keep_id")
+    """Exact-dup grouping over a dup-injected view (each doc_id % 10 == 0
+    document duplicated twice under fresh ids) so the oracle exercises
+    real non-empty groups — the raw corpus has no exact dups at sf0.01."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    dup_view = (
+        docs.unionByName(tenth.withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        .unionByName(tenth.withColumn("doc_id", F.col("doc_id") + 20_000_000))
+    )
+    return dedup.exact_dup_groups(dup_view).select("text_hash", "cnt", "keep_id")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -453,6 +462,18 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     model = lm.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     return lm.lm_score(docs.filter(F.col("doc_id") % 2 == 1), model).select(
         "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
+def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated (Jelinek-Mercer) trigram-LM scoring: train on even
+    doc_ids, score the held-out odd half. One fidelity step below KenLM
+    (fixed λ, add-α unigram floor instead of Kneser-Ney), same
+    n-gram-keyed join shape at every order."""
+    docs = _docs(spark, sf)
+    model = lm.train_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.lm_score_trigram(docs.filter(F.col("doc_id") % 2 == 1), model).select(
+        "doc_id", "n_trigrams", "avg_logp"
     )
 
 
@@ -774,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "top_ngrams": q_top_ngrams,
         "lm_score": q_lm_score,
+        "lm_score_trigram": q_lm_score_trigram,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1070,9 +1092,20 @@ UNION ALL SELECT 'http://example.org/order/' || o_orderkey, '{VOC}customer',
        'http://example.org/cust/' || o_custkey, false FROM orders
 """
     out["dedup_exact_kept"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    # dup-injected view: every doc_id % 10 == 0 document reappears twice
+    # under new ids, so the groups result is NON-empty at every sf (the
+    # raw corpus has no exact dups at sf0.01 and a 0-row pass proves
+    # nothing). sha256 = the engine-wide exact-dup identity.
     out["dedup_exact_groups"] = """
-SELECT md5(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+WITH dup_view AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256(text) AS text_hash, count(*) AS cnt, min(doc_id) AS keep_id
+FROM dup_view GROUP BY sha256(text) HAVING count(*) > 1
 """
     out["dedup_minhash_lsh"] = _minhash_sql()
     out["dedup_clusters"] = _dedup_clusters_sql()
@@ -1401,6 +1434,52 @@ WITH tok AS (
   WHERE b.doc_id % 2 = 1
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+FROM sc GROUP BY doc_id
+"""
+    # Jelinek-Mercer interpolated trigram LM (λ = 0.6/0.3/0.1, add-0.1
+    # unigram floor), trained on even doc_ids, scored on odd; round4 on
+    # the mean absorbs cross-engine ulps as in lm_score / bm25_search
+    out["lm_score_trigram"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), tge AS (
+  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                                     i -> [toks[i], toks[i+1], toks[i+2]])) AS g
+        FROM tok WHERE len(toks) >= 3)
+), bge AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM tok WHERE len(toks) >= 2)
+), c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tge WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+   c2 AS (SELECT w1, w2, count(*) AS c2 FROM bge WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+   c1 AS (SELECT w1, count(*) AS c1
+          FROM (SELECT doc_id, unnest(toks) AS w1 FROM tok WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+   vt AS (SELECT CAST(count(*) AS DOUBLE) AS v, CAST(sum(c1) AS DOUBLE) AS t FROM c1),
+   sc AS (
+  SELECT d.doc_id,
+         ln(0.6 * (CASE WHEN coalesce(x2.c2, 0) > 0
+                        THEN CAST(coalesce(t3.c3, 0) AS DOUBLE) / x2.c2 ELSE 0 END)
+          + 0.3 * (CASE WHEN coalesce(u2.c1, 0) > 0
+                        THEN CAST(coalesce(b23.c2, 0) AS DOUBLE) / u2.c1 ELSE 0 END)
+          + 0.1 * (CAST(coalesce(u3.c1, 0) AS DOUBLE) + 0.1) / (vt.t + 0.1 * vt.v)) AS logp
+  FROM tge d
+  LEFT JOIN c3 t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
+  LEFT JOIN c2 x2 ON d.w1 = x2.w1 AND d.w2 = x2.w2
+  LEFT JOIN c2 b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+  LEFT JOIN c1 u2 ON d.w2 = u2.w1
+  LEFT JOIN c1 u3 ON d.w3 = u3.w1
+  CROSS JOIN vt
+  WHERE d.doc_id % 2 = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
 FROM sc GROUP BY doc_id
 """

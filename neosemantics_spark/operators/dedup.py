@@ -66,10 +66,14 @@ def shingle_rows(
 
 # --------------------------------------------------------------- exact
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact duplicate groups: md5(text) → (text_hash, cnt, keep_id).
-    One shuffle; partial aggregation map-side."""
+    """Exact duplicate groups: sha2(text, 256) → (text_hash, cnt,
+    keep_id). One shuffle; partial aggregation map-side. Keyed on the
+    SAME hash identity as `dedup_exact` and the curation checkpoint's
+    text_hashes state table — one definition of "the same document"
+    across the whole engine (two hash identities invite a state-join
+    bug the first time a groups output meets the checkpoint state)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("cnt") > 1)
     )

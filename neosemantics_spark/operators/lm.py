@@ -16,6 +16,15 @@ DataFrames that can be written/reloaded like any other table.
 P(w2 | w1) = (c(w1,w2) + α) / (c(w1) + α·V), score = mean ln P over the
 document's bigrams. Unseen bigrams/unigrams degrade smoothly via the
 same formula (counts coalesce to 0).
+
+`train_trigram_lm` / `lm_score_trigram` step the fidelity up one order:
+Jelinek-Mercer interpolation P(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2)
++ λ2·c(w2w3)/c(w2) + λ1·(c(w3)+α)/(T+α·V) — the standard interpolated
+n-gram backbone (KenLM's Kneser-Ney additionally discounts and learns
+per-context weights; the JOIN SHAPE is identical — n-gram-keyed
+equi-joins against one table per order — so swapping in KN counts is a
+model-table change, not a plan change). The add-α unigram floor keeps
+every interpolated probability strictly positive.
 """
 
 from __future__ import annotations
@@ -109,5 +118,132 @@ def lm_score(
     )
     return joined.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").alias("n_bigrams"),
+        round4(F.avg("logp")).alias("avg_logp"),
+    )
+
+
+# ------------------------------------------------- interpolated trigram
+class TrigramLM(NamedTuple):
+    trigrams: DataFrame  # (w1, w2, w3, c3)
+    bigrams: DataFrame  # (w1, w2, c2)
+    unigrams: DataFrame  # (w1, c1)
+    vocab_size: int
+    total_tokens: int
+
+
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per trigram occurrence; same
+    materialize-then-transform guard as `_doc_bigrams`."""
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    triples = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+                F.element_at(toks, i + 3).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    return base.select("id", F.explode(triples).alias("t")).select(
+        "id",
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+
+
+def train_trigram_lm(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> TrigramLM:
+    """Count tables for all three orders. Three map-side-combined
+    groupBys; the two driver scalars (V and T) come from ONE agg job
+    over the unigram table."""
+    trigrams = (
+        _doc_trigrams(corpus, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    bigrams = (
+        _doc_bigrams(corpus, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    unigrams = (
+        corpus.select(F.explode(norm_tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    stats = unigrams.agg(
+        F.count("*").alias("v"), F.sum("c1").alias("t")
+    ).first()
+    return TrigramLM(
+        trigrams, bigrams, unigrams, int(stats["v"]), int(stats["t"] or 0)
+    )
+
+
+def lm_score_trigram(
+    docs: DataFrame,
+    model: TrigramLM,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logp) — mean ln of the interpolated
+    trigram probability. Join shape: document trigrams against the three
+    count tables — trigram counts on (w1,w2,w3), context counts on
+    (w1,w2), continuation bigrams on (w2,w3), unigrams on w2 and w3 —
+    five n-gram-keyed equi-joins (broadcast vs shuffled left to AQE by
+    model-table size), zero driver state beyond the two scalars. Each
+    maximum-likelihood component is 0 when its context is unseen; the
+    add-α unigram floor keeps the mixture positive, so out-of-model text
+    scores low instead of -inf."""
+    l3, l2, l1 = lambdas
+    tg = _doc_trigrams(docs, id_col, text_col)
+    uni = model.unigrams
+    joined = (
+        tg.join(model.trigrams, ["w1", "w2", "w3"], "left")
+        .join(
+            model.bigrams.select("w1", "w2", F.col("c2").alias("ctx2")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            model.bigrams.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c23")
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_w2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("c1").alias("c1_w3")),
+            "w3",
+            "left",
+        )
+    )
+    z = F.lit(0).cast("double")
+    c3 = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    ctx2 = F.coalesce(F.col("ctx2"), F.lit(0)).cast("double")
+    c23 = F.coalesce(F.col("c23"), F.lit(0)).cast("double")
+    c1w2 = F.coalesce(F.col("c1_w2"), F.lit(0)).cast("double")
+    c1w3 = F.coalesce(F.col("c1_w3"), F.lit(0)).cast("double")
+    p3 = F.when(ctx2 > 0, c3 / ctx2).otherwise(z)
+    p2 = F.when(c1w2 > 0, c23 / c1w2).otherwise(z)
+    p1 = (c1w3 + alpha) / (model.total_tokens + alpha * model.vocab_size)
+    scored = joined.select(
+        "id", F.log(l3 * p3 + l2 * p2 + l1 * p1).alias("logp")
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_trigrams"),
         round4(F.avg("logp")).alias("avg_logp"),
     )

@@ -56,3 +56,36 @@ def test_lm_score_formula_and_ordering(spark, corpus):
     assert out[3]["avg_logp"] == pytest.approx(
         math.floor(oov * 10000 + 0.5) / 10000, abs=1e-9
     )
+
+
+def test_trigram_interpolated_matches_manual(spark, corpus):
+    """Hand-check one scored trigram against the Jelinek-Mercer formula."""
+    model = lm.train_trigram_lm(corpus)
+    # corpus tokens: doc0 = the cat sat on the mat, doc2 = the cat ate
+    # the fish, doc4 = one word → V distinct, T total
+    assert model.vocab_size == 9 and model.total_tokens == 13
+    c3 = {(r["w1"], r["w2"], r["w3"]): r["c3"] for r in model.trigrams.collect()}
+    assert c3[("the", "cat", "sat")] == 1 and c3[("the", "cat", "ate")] == 1
+
+    probe = spark.createDataFrame([(100, "the cat sat")], ["doc_id", "text"])
+    out = lm.lm_score_trigram(probe, model).collect()[0]
+    assert out["n_trigrams"] == 1
+    # p3 = c(the cat sat)/c(the cat) = 1/2; p2 = c(cat sat)/c(cat) = 1/2;
+    # p1 = (c(sat)+.1)/(T+.1*V)
+    p3, p2 = 1 / 2, 1 / 2
+    p1 = (1 + 0.1) / (13 + 0.1 * 9)
+    want = math.floor(math.log(0.6 * p3 + 0.3 * p2 + 0.1 * p1) * 10000 + 0.5) / 10000
+    assert out["avg_logp"] == pytest.approx(want, abs=1e-9)
+
+
+def test_trigram_oov_scores_low_but_finite(spark, corpus):
+    model = lm.train_trigram_lm(corpus)
+    gib = spark.createDataFrame([(7, "zxq wvut plonk")], ["doc_id", "text"])
+    row = lm.lm_score_trigram(gib, model).collect()[0]
+    # all components 0 except the unigram floor: ln(0.1 * 0.1/(T+0.1V))
+    want = math.log(0.1 * 0.1 / (13 + 0.1 * 9))
+    assert row["avg_logp"] == pytest.approx(want, abs=1e-3)
+    # short docs emit no trigrams at all
+    assert lm.lm_score_trigram(
+        spark.createDataFrame([(8, "two words")], ["doc_id", "text"]), model
+    ).count() == 0
