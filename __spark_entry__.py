@@ -465,6 +465,62 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic two-batch replay of the incremental curation state
+    machine (CurationCheckpoint) — the cross-batch exact-hash anti-join,
+    persisted LSH bucket index, Jaccard verification against historical
+    reps, the no-chaining drop rule, min-id in-batch clustering, and the
+    split assignment, end to end through the persisted parquet state.
+
+    Batch 1 = docs with doc_id % 3 < 2. Batch 2 = docs with
+    doc_id % 3 > 0 re-submitted under ids +10M (the % 3 == 1 overlap is
+    exact-dup-dropped against batch 1's hash state; the % 3 == 2 docs
+    are genuinely new), plus two near-dup variant families of the
+    % 3 == 0 docs (suffix tokens, ids +20M/+30M) that must match batch
+    1's historical reps through the bucket index and be dropped without
+    chaining their in-batch neighbors away. Returns the accepted
+    (doc_id, split) set across both batches; the DuckDB oracle replays
+    the identical policy in SQL (minhash/LSH/Jaccard/recursive-CTE CC).
+    LM filtering and decontamination are disabled — they are stateless
+    per batch and carry their own oracles (lm_score*, decontam)."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 < 2)
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = (
+        docs.filter(F.col("doc_id") % 3 > 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .unionByName(
+            third.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzznear")).alias("text"),
+            )
+        )
+        .unionByName(
+            third.select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qqfresh")).alias("text"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="curation_state_")
+    try:
+        cp = CurationCheckpoint(spark, root)
+        r1 = cp.run(b1, lm_quantile=0.0)
+        r2 = cp.run(b2, lm_quantile=0.0)
+        out = r1.curated.select("doc_id", "split").unionByName(
+            r2.curated.select("doc_id", "split")
+        )
+        # materialize before the state directory disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated (Jelinek-Mercer) trigram-LM scoring: train on even
     doc_ids, score the held-out odd half. One fidelity step below KenLM
@@ -796,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "lm_score": q_lm_score,
         "lm_score_trigram": q_lm_score_trigram,
+        "curation_incremental": q_curation_incremental,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -951,6 +1008,141 @@ WITH words AS (
 SELECT a, b, floor(common / (sa.sz + sb.sz - common) * 10000 + 0.5) / 10000 AS jaccard
 FROM pc JOIN sizes sa ON pc.a = sa.doc_id JOIN sizes sb ON pc.b = sb.doc_id
 WHERE floor(common / (sa.sz + sb.sz - common) * 10000 + 0.5) / 10000 >= {threshold}
+"""
+
+
+def _mh_block(src: str, p: str) -> str:
+    """Per-batch minhash/LSH CTE chain (prefix `p`): words → distinct
+    3-shingles → 8 md5 minhashes → 4 LSH bands, mirroring
+    dedup.minhash_signatures/lsh_buckets with the CurationCheckpoint
+    defaults."""
+    return f"""{p}w AS (
+  SELECT doc_id, {_WORDS} AS w FROM {src}
+), {p}sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM {p}w
+), {p}sig AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM {p}sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY doc_id, seed
+), {p}band AS (
+  SELECT doc_id, seed % 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+  FROM {p}sig GROUP BY doc_id, seed % 4
+)"""
+
+
+def _verify_block(sh: str, pairs: str, p: str, threshold: float = 0.8) -> str:
+    """Exact-Jaccard verification of candidate `pairs` over shingle rows
+    `sh` (prefix `p`): rounded-4 Jaccard >= threshold, like
+    dedup.ngram_jaccard_pairs. Pairs sharing no shingle never reach
+    `{p}pc` (Jaccard 0, below any useful threshold)."""
+    return f"""{p}sz AS (
+  SELECT doc_id, count(*) AS sz FROM {sh} GROUP BY doc_id
+), {p}pc AS (
+  SELECT pr.a, pr.b, count(*) AS common
+  FROM {pairs} pr
+  JOIN {sh} l ON l.doc_id = pr.a
+  JOIN {sh} r ON r.doc_id = pr.b AND r.shingle = l.shingle
+  GROUP BY pr.a, pr.b
+), {p}ver AS (
+  SELECT pc.a, pc.b
+  FROM {p}pc pc
+  JOIN {p}sz sa ON pc.a = sa.doc_id
+  JOIN {p}sz sb ON pc.b = sb.doc_id
+  WHERE floor(pc.common / (sa.sz + sb.sz - pc.common) * 10000 + 0.5) / 10000 >= {threshold}
+)"""
+
+
+def _curation_incremental_sql() -> str:
+    """SQL replay of the CurationCheckpoint two-batch policy (see
+    q_curation_incremental): per-batch exact dedup (min id per text),
+    cross-batch hash anti-join, in-batch + bucket-index candidate pairs,
+    Jaccard verification, drop-on-historical-match without chaining,
+    survivor-only min-id clustering, md5-cutoff split."""
+    split_case = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+            ELSE 'test' END"""
+    return f"""
+WITH RECURSIVE
+b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2),
+b2 AS (
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 3 > 0
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' zzznear' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, text || ' qqfresh' FROM documents WHERE doc_id % 3 = 0
+),
+f1 AS (
+  SELECT b.doc_id, b.text FROM b1 b
+  JOIN (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY text) k USING (doc_id)
+),
+{_mh_block('f1', 'a')},
+apairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM aband l JOIN aband r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+{_verify_block('ash', 'apairs', 'a')},
+asym AS (SELECT a, b FROM aver UNION SELECT b AS a, a AS b FROM aver),
+areach AS (
+  SELECT a, b FROM asym
+  UNION
+  SELECT r.a, s.b FROM areach r JOIN asym s ON r.b = s.a WHERE s.b <> r.a
+),
+acomp AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM areach GROUP BY a),
+reps1 AS (
+  SELECT f.doc_id, f.text FROM f1 f LEFT JOIN acomp c USING (doc_id)
+  WHERE coalesce(c.cluster_id, f.doc_id) = f.doc_id
+),
+f2 AS (
+  SELECT b.doc_id, b.text FROM b2 b
+  JOIN (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY text) k USING (doc_id)
+  WHERE b.text NOT IN (SELECT text FROM b1)
+),
+{_mh_block('f2', 'n')},
+oldband AS (SELECT bd.* FROM aband bd JOIN reps1 USING (doc_id)),
+npairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM nband l JOIN nband r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+xpairs AS (
+  SELECT DISTINCT least(n.doc_id, o.doc_id) AS a, greatest(n.doc_id, o.doc_id) AS b
+  FROM nband n JOIN oldband o ON n.band = o.band AND n.bucket = o.bucket
+),
+allpairs AS (SELECT a, b FROM npairs UNION SELECT a, b FROM xpairs),
+vsh AS (
+  SELECT doc_id, shingle FROM nsh
+  UNION ALL
+  SELECT s.doc_id, s.shingle FROM ash s JOIN reps1 r USING (doc_id)
+),
+{_verify_block('vsh', 'allpairs', 'v')},
+crossv AS (
+  SELECT a, b FROM vver
+  WHERE a NOT IN (SELECT doc_id FROM f2) OR b NOT IN (SELECT doc_id FROM f2)
+),
+matched AS (
+  SELECT DISTINCT id FROM (
+    SELECT a AS id FROM crossv UNION ALL SELECT b AS id FROM crossv
+  ) WHERE id IN (SELECT doc_id FROM f2)
+),
+surv AS (SELECT doc_id FROM f2 WHERE doc_id NOT IN (SELECT id FROM matched)),
+inbv AS (
+  SELECT a, b FROM vver
+  WHERE a IN (SELECT doc_id FROM surv) AND b IN (SELECT doc_id FROM surv)
+),
+nsym AS (SELECT a, b FROM inbv UNION SELECT b AS a, a AS b FROM inbv),
+nreach AS (
+  SELECT a, b FROM nsym
+  UNION
+  SELECT r.a, s.b FROM nreach r JOIN nsym s ON r.b = s.a WHERE s.b <> r.a
+),
+ncomp AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM nreach GROUP BY a),
+reps2 AS (
+  SELECT s.doc_id FROM surv s LEFT JOIN ncomp c USING (doc_id)
+  WHERE coalesce(c.cluster_id, s.doc_id) = s.doc_id
+),
+acc AS (SELECT doc_id FROM reps1 UNION ALL SELECT doc_id FROM reps2)
+SELECT doc_id, {split_case} AS split FROM acc
 """
 
 
@@ -1440,6 +1632,7 @@ FROM sc GROUP BY doc_id
     # Jelinek-Mercer interpolated trigram LM (λ = 0.6/0.3/0.1, add-0.1
     # unigram floor), trained on even doc_ids, scored on odd; round4 on
     # the mean absorbs cross-engine ulps as in lm_score / bm25_search
+    out["curation_incremental"] = _curation_incremental_sql()
     out["lm_score_trigram"] = """
 WITH tok AS (
   SELECT doc_id,

@@ -232,7 +232,15 @@ class CurationCheckpoint:
         the batch commit leaves a model trained on exactly the survivors
         the deterministic replay recomputes, so reusing it is safe."""
 
+        import os
+
         def rd(path: str) -> DataFrame | None:
+            # existence pre-check keeps Spark from logging a noisy
+            # FileNotFoundException stack on first-batch runs (local /
+            # HDFS paths; an object-store deployment would probe the
+            # catalog instead)
+            if not os.path.isdir(path):
+                return None
             try:
                 return self.spark.read.parquet(path)
             except Exception:  # noqa: BLE001 — not created yet
