@@ -43,6 +43,7 @@ def connected_components(
     max_iter: int = 25,
     on_round=None,
     scratch_dir: str | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """edges(a,b) undirected → (uri, component) where component is the
     lexicographic-min uri of the equivalence class (deterministic canonical
@@ -113,7 +114,15 @@ def connected_components(
             return _parquet_pin(df)
         return df.localCheckpoint(eager=True, storageLevel=_StorageLevel.MEMORY_AND_DISK)
 
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # `e` stays DIRECTED throughout: the contraction join rewrites each
+    # undirected edge once (direction is irrelevant — ec is
+    # re-symmetrized lazily inside the min-agg below), so pinning the
+    # symmetrized union would double the materialized edge table, the
+    # round-0 join input, and the up-front checkpoint time for nothing
+    # (measured on the 500k-doc clustering stage: the two eager 2×-edge
+    # materializations, not round count, dominated the fixed cost).
+    e = edges.localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # current component per node
     comp = (
         sym.groupBy("a")
@@ -121,7 +130,18 @@ def connected_components(
         .select(F.col("a").alias("uri"), F.col("c").alias("component"))
         .localCheckpoint(eager=True)
     )
-    e = sym.localCheckpoint(eager=True)
+    # the node set is invariant across rounds, so one count decides the
+    # contraction-join strategy for the whole run: below the limit the
+    # comp map broadcasts (no shuffle of the big edge table at all);
+    # above it the hint is withheld — an unconditional broadcast of a
+    # multi-million-row map serializes on the driver every round and
+    # anti-scales (measured round 1; same gating as canonicalize_triples)
+    _n_nodes = comp.count()
+    _bcast = _n_nodes <= broadcast_limit
+
+    def _map_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bcast else df
+
     _t0 = _time.perf_counter()
     for _round in range(max_iter):
         _reset = _round % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1
@@ -129,8 +149,8 @@ def connected_components(
         # Checkpoint ONCE and reuse — the naive version recomputed this
         # join three times per iteration (isEmpty, delta, next-e).
         ec = _pin(
-            e.join(comp.withColumnRenamed("uri", "a").withColumnRenamed("component", "ca"), "a")
-            .join(comp.withColumnRenamed("uri", "b").withColumnRenamed("component", "cb"), "b")
+            e.join(_map_side(comp.withColumnRenamed("uri", "a").withColumnRenamed("component", "ca")), "a")
+            .join(_map_side(comp.withColumnRenamed("uri", "b").withColumnRenamed("component", "cb")), "b")
             .select("ca", "cb")
             .filter(F.col("ca") != F.col("cb"))
             .distinct(),
@@ -149,36 +169,49 @@ def connected_components(
         delta = sym2.groupBy("ca").agg(F.min("cb").alias("new_c")).filter(
             F.col("new_c") < F.col("ca")
         )
-        # min-neighbor update on the contracted graph, then pointer jump
-        # comp(u) := comp(comp(u)) so nodes whose representative itself
-        # moved follow it down (path halving) — fused into one lineage,
-        # checkpointed once
+        # min-neighbor update on the contracted graph, then TWO pointer
+        # jumps comp(u) := comp(comp(u)), the second against the jumped
+        # mapping (f -> f^2 -> f^4) — fused into one lineage and
+        # checkpointed once. The second jump costs one more self-join
+        # inside the same materialized round but replaces an entire
+        # later round (contraction join + two pins + convergence probe),
+        # halving the fixed per-round job count that dominates clustering
+        # workloads (the 500k-doc stress profile: ~116 s of mostly
+        # scheduling floor at local[16] before this fusion).
         comp1 = comp.join(
             delta.select(F.col("ca").alias("component"), "new_c"), "component", "left"
         ).select(
             "uri", F.least(F.coalesce("new_c", "component"), F.col("component")).alias("component")
         )
-        parent = comp1.select(
-            F.col("uri").alias("component"), F.col("component").alias("pcomp")
-        )
-        comp = _pin(
-            comp1.join(parent, "component", "left")
-            .select("uri", F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component")),
-            reset_stats=_reset,
-        )
+        for _jump in range(2):
+            parent = comp1.select(
+                F.col("uri").alias("component"), F.col("component").alias("pcomp")
+            )
+            comp1 = comp1.join(parent, "component", "left").select(
+                "uri",
+                F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"),
+            )
+        comp = _pin(comp1, reset_stats=_reset)
         e = ec.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
         _gc.collect()  # release py4j handles → ContextCleaner reaps old checkpoints
-    # final flattening: follow representatives until fixpoint (log-depth).
-    # Convergence check = count of still-moving rows inside the same pass
-    # (NOT exceptAll — that is a full extra shuffle-compare per round).
+    # final flattening: follow representatives until fixpoint. Two fused
+    # jumps per materialized round (f -> f^4: quartering instead of
+    # doubling) halve the pin + probe count for deep chains. Convergence
+    # check = count of still-moving rows inside the same pass (NOT
+    # exceptAll — that is a full extra shuffle-compare per round).
     for _fr in range(max_iter):
-        parent = comp.select(F.col("uri").alias("component"), F.col("component").alias("pcomp"))
-        j = _pin(
-            comp.join(parent, "component", "left").select(
+        step = comp.select("uri", F.col("component").alias("old"), "component")
+        for _jump in range(2):
+            parent = step.select(
+                F.col("uri").alias("component"), F.col("component").alias("pcomp")
+            )
+            step = step.join(parent, "component", "left").select(
                 "uri",
-                F.col("component").alias("old"),
+                "old",
                 F.least(F.coalesce("pcomp", "component"), F.col("component")).alias("component"),
-            ),
+            )
+        j = _pin(
+            step,
             reset_stats=_fr % _STATS_RESET_EVERY == _STATS_RESET_EVERY - 1,
         )
         comp = j.select("uri", "component")
