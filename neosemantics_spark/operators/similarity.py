@@ -574,6 +574,47 @@ def ivf_topk(
     )
 
 
+def ann_topk_router(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    workload: str = "near_dup",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Operator selection for ANN top-k by workload — the measured
+    routing from the BASELINE.md recall study (recall@10, 20 queries,
+    sf0.1 embeddings + deterministic 10× near-dup blow-up):
+
+    - ``near_dup`` (dedup-style: the true neighbors are perturbed copies
+      of the query) → `lsh_topk(nbits=4, bands=4, probe_bits=1)`:
+      recall 1.00 near-dup / 0.93 iid at ~1/5 the candidate volume of
+      the IVF alternative. Near-identical vectors agree on every
+      hyperplane sign, so multi-band + 1-bit probing is essentially
+      exhaustive over the clone set.
+    - ``topic`` (retrieval-style: neighbors are semantically close but
+      not copies; centroid routing matches how the corpus clusters) →
+      `ivf_topk(n_probe=16, assign_k=2)`: recall 0.92 iid. When an IVF
+      layout must ALSO serve near-dup queries (one index for both), the
+      measured ≥0.85 config is `n_probe=32, assign_k=4` (0.895 near-dup
+      / 1.00 iid) at ~3× the scoring cost — replication into 4 inverted
+      lists is what recovers clones that straddle centroid boundaries.
+
+    The router keeps the workload→config mapping in one audited place so
+    pipeline code does not re-derive it from the study."""
+    if workload == "near_dup":
+        return lsh_topk(
+            embeddings, query_ids, k=k, nbits=4, bands=4, probe_bits=1,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if workload == "topic":
+        return ivf_topk(
+            embeddings, query_ids, k=k, n_centroids=None, n_probe=16,
+            assign_k=2, id_col=id_col, vec_col=vec_col,
+        )
+    raise ValueError(f"unknown ANN workload {workload!r}: use 'near_dup' or 'topic'")
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

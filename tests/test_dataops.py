@@ -493,3 +493,18 @@ def test_redact_pii(spark):
     r = text.redact_pii(df).toPandas().iloc[0]
     assert r.redacted == "mail <EMAIL> or see <URL> at <IP> ok"
     assert (r.n_emails, r.n_urls, r.n_ips) == (1, 1, 1)
+
+
+def test_ann_topk_router(spark, emb):
+    from neosemantics_spark.operators import similarity as sim
+
+    qids = [0, 1, 2]
+    near = sim.ann_topk_router(emb, qids, k=3, workload="near_dup")
+    topic = sim.ann_topk_router(emb, qids, k=3, workload="topic")
+    for out in (near, topic):
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} <= set(qids)
+        assert all(r["rank"] <= 3 for r in rows)
+        assert set(out.columns) == {"query_id", "neighbor_id", "score", "rank"}
+    with pytest.raises(ValueError, match="workload"):
+        sim.ann_topk_router(emb, qids, workload="nope")
