@@ -154,23 +154,27 @@ class CurationCheckpoint:
       shingle size or band count silently invalidates the bucket index
       otherwise).
 
-    Crash safety — batch-scoped commits (the plain-parquet analogue of
-    an Iceberg transaction): each state table is a directory of
-    `batch=<fingerprint>` subdirectories, and readers only scan
-    subdirectories whose fingerprint has a marker file under
-    `commits/`. A batch's appends go to its own subdirectories
-    (mode=overwrite, so a replay cleanly replaces a partial write), and
-    the marker is renamed into place ATOMICALLY only after hashes, reps,
-    and buckets have all been written. A crash anywhere mid-batch
-    leaves the committed state exactly as it was — the replayed batch
-    sees none of its own partial output (same fingerprint → same
-    subdirs → overwritten), recomputes, and commits once. This removes
-    the partial-append window where a batch's hashes landed but its
-    reps/buckets did not, which would have silently dropped the batch's
-    accepted docs from all future state joins. The batch fingerprint is
-    derived from the batch's distinct text-hash set (order-independent
-    bit_xor + count), so it is deterministic across replays and
-    engines.
+    Crash safety — batch-scoped snapshot commits (the plain-parquet
+    analogue of an Iceberg transaction): each state table is a
+    directory of `batch=<fingerprint>` subdirectories, and readers scan
+    exactly the batch set listed in the manifest that `commits/HEAD`
+    points at. A batch's appends go to its own subdirectories
+    (mode=overwrite, so a replay cleanly replaces a partial write);
+    only after hashes, reps, and buckets have all been written is a new
+    manifest published and HEAD swapped by ONE atomic rename. A crash
+    anywhere mid-batch leaves the previous snapshot fully live — the
+    replayed batch sees none of its own partial output (same
+    fingerprint → same subdirs → overwritten), recomputes, and commits
+    once. This removes the partial-append window where a batch's hashes
+    landed but its reps/buckets did not, which would have silently
+    dropped the batch's accepted docs from all future state joins. The
+    batch fingerprint is derived from the batch's distinct text-hash
+    set (order-independent bit_xor + count), so it is deterministic
+    across replays and engines. `compact()` merges the accumulated
+    batch directories back into one (HEAD swap again) so state reads
+    never list unboundedly many directories on a long-running build.
+    Single writer per state root (one Spark driver — the same contract
+    as a stream checkpoint).
 
     Near-dup policy (deliberate): a new doc matching ANY historical rep
     is dropped and the historical doc stays canonical — accepted docs
@@ -197,12 +201,23 @@ class CurationCheckpoint:
         self.p_commits = os.path.join(root, "commits")
 
     def _committed(self) -> list[str]:
+        """Active batch ids = the list in the manifest HEAD points at.
+        The snapshot-pointer layout (commits/MANIFEST-<seq>.json + a
+        HEAD file swapped by atomic rename — the plain-filesystem
+        analogue of an Iceberg snapshot pointer) makes BOTH the
+        per-batch commit and whole-state compaction single atomic
+        operations: a crash anywhere leaves HEAD on a complete older
+        manifest. Single writer assumed (one Spark driver owns a state
+        root — the same contract as the stream checkpoint)."""
+        import json
         import os
 
+        head = os.path.join(self.p_commits, "HEAD")
         try:
-            return sorted(
-                f for f in os.listdir(self.p_commits) if not f.startswith(".")
-            )
+            with open(head) as fh:
+                manifest = fh.read().strip()
+            with open(os.path.join(self.p_commits, manifest)) as fh:
+                return list(json.load(fh)["batches"])
         except FileNotFoundError:
             return []
 
@@ -248,17 +263,80 @@ class CurationCheckpoint:
 
         return rd(self.p_lm_big), rd(self.p_lm_uni)
 
-    def _commit(self, batch_id: str) -> None:
-        """Atomically publish a batch: rename a temp marker into
-        `commits/<batch_id>`. rename(2) is atomic on POSIX; on an object
-        store this is one Iceberg snapshot commit instead."""
+    def _next_seq(self) -> int:
+        import os
+
+        try:
+            seqs = [
+                int(f.split("-", 1)[1].split(".")[0])
+                for f in os.listdir(self.p_commits)
+                if f.startswith("MANIFEST-")
+            ]
+        except FileNotFoundError:
+            seqs = []
+        return (max(seqs) + 1) if seqs else 0
+
+    def _publish(self, batches: list[str]) -> None:
+        """Write a new complete manifest and swap HEAD onto it with one
+        atomic rename(2). On an object store this is one Iceberg
+        snapshot commit instead."""
+        import json
         import os
 
         os.makedirs(self.p_commits, exist_ok=True)
-        tmp = os.path.join(self.p_commits, f".tmp-{batch_id}")
+        name = f"MANIFEST-{self._next_seq()}.json"
+        with open(os.path.join(self.p_commits, name), "w") as fh:
+            json.dump({"batches": batches}, fh)
+        tmp = os.path.join(self.p_commits, ".HEAD.tmp")
         with open(tmp, "w") as fh:
-            fh.write(batch_id)
-        os.rename(tmp, os.path.join(self.p_commits, batch_id))
+            fh.write(name)
+        os.rename(tmp, os.path.join(self.p_commits, "HEAD"))
+
+    def _commit(self, batch_id: str) -> None:
+        """Atomically publish a batch: append its id to the active set
+        and swap HEAD. A crash between the table writes and this point
+        leaves the previous snapshot intact; a crash between manifest
+        write and the rename orphans one manifest file (harmless)."""
+        active = self._committed()
+        if batch_id not in active:
+            self._publish(active + [batch_id])
+
+    def compact(self) -> int:
+        """Merge all committed batch directories of each state table
+        into ONE, and point HEAD at the compacted snapshot.
+
+        An incremental build accumulates a batch=<id> subdirectory per
+        table per batch; every later batch's state reads then list and
+        scan N directories. Compaction bounds that at 1 again — the
+        plain-parquet analogue of Iceberg's rewrite_data_files. The swap
+        is a single HEAD rename, so a crash mid-compaction leaves the
+        old snapshot fully live; the now-unreferenced batch directories
+        are garbage-collected after the swap (crash mid-GC leaves
+        unreferenced files only). Run it from the (single) writer
+        between batches. Returns the number of batches merged."""
+        import os
+        import shutil
+
+        active = self._committed()
+        if len(active) <= 1:
+            return len(active)
+        cid = f"compact-{self._next_seq()}"
+        for path in (self.p_hashes, self.p_reps, self.p_buckets):
+            merged = self._table(path)
+            if merged is None:
+                continue
+            # localCheckpoint severs lineage from the directories being
+            # replaced before anything is written under the same root
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                self._batch_dir(path, cid)
+            )
+        self._publish([cid])
+        for path in (self.p_hashes, self.p_reps, self.p_buckets):
+            for bid in active:
+                stale = self._batch_dir(path, bid)
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+        return len(active)
 
     def _read_meta(self) -> dict | None:
         import json

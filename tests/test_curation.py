@@ -253,3 +253,49 @@ def test_checkpoint_custom_id_col(spark, tmp_path):
     # resubmission is a no-op through the hash state
     r2 = cp.run(docs, lm_quantile=0.0, id_col="page_id")
     assert r2.metrics["n_fresh"] == 0 and "page_id" in r2.curated.columns
+
+
+def test_checkpoint_compaction_preserves_semantics(spark, tmp_path):
+    """compact() merges all committed batch dirs into one snapshot:
+    the active-batch list shrinks to 1, and every cross-batch behavior
+    (hash resubmission no-op, bucket-index near-dup matching) is
+    unchanged against the compacted state."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega last"
+    )
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    cp.run(spark.createDataFrame([(0, base)], ["doc_id", "text"]), lm_quantile=0.0, jaccard_threshold=0.7)
+    cp.run(
+        spark.createDataFrame(
+            [(10, "a totally separate second batch document about joins")],
+            ["doc_id", "text"],
+        ),
+        lm_quantile=0.0, jaccard_threshold=0.7,
+    )
+    assert len(cp._committed()) == 2
+    pre_reps = {r["doc_id"] for r in cp._table(cp.p_reps).select("doc_id").collect()}
+
+    assert cp.compact() == 2
+    assert len(cp._committed()) == 1 and cp._committed()[0].startswith("compact-")
+    assert {r["doc_id"] for r in cp._table(cp.p_reps).select("doc_id").collect()} == pre_reps
+
+    # hash memory intact: resubmitting batch-1 text is a no-op
+    r = cp.run(spark.createDataFrame([(20, base)], ["doc_id", "text"]), lm_quantile=0.0, jaccard_threshold=0.7)
+    assert r.metrics["n_fresh"] == 0
+    # bucket index intact: a near-dup of the compacted rep is dropped
+    r2 = cp.run(
+        spark.createDataFrame([(30, base.replace("sigma", "sigmaprime"))], ["doc_id", "text"]),
+        lm_quantile=0.0, jaccard_threshold=0.7,
+    )
+    assert r2.metrics["n_fresh"] == 1 and r2.metrics["n_after_near_dedup"] == 0
+    # and new batches keep committing on top of the compacted snapshot
+    r3 = cp.run(
+        spark.createDataFrame([(40, "yet another brand new doc about watermarks")], ["doc_id", "text"]),
+        lm_quantile=0.0, jaccard_threshold=0.7,
+    )
+    # both post-compaction batches commit on top of the snapshot (batch
+    # 30 accepted nothing but its hash memory must persist)
+    assert r3.metrics["n_accepted"] == 1 and len(cp._committed()) == 3
