@@ -465,6 +465,36 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram containment over a truncation-injected view:
+    every doc_id % 7 == 0 document reappears (id +40M) truncated to its
+    first half (≥5 words) — the embedded-document duplication shape
+    (quoted article, truncated mirror) that Jaccard under-detects. The
+    truncated copy's shingles are a subset of the original's, so its
+    containment is 1.0 while Jaccard can be far below any dedup
+    threshold."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.greatest(F.lit(5), (F.size(w) / 2).cast("int"))
+    trunc = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, n), " ").alias("text"),
+    )
+    view = docs.unionByName(trunc)
+    return dedup.ngram_containment_pairs(view, threshold=0.9).select(
+        "a", "b", "cont_a", "cont_b"
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget dataset mixing: en capped at 6000 tokens, de at
+    2500, zh uncapped (budget above the stratum total exercises the
+    keep-all path); fr/es carry no budget and are dropped."""
+    return datasets.token_budget_sample(
+        _docs(spark, sf), {"en": 6000, "de": 2500, "zh": 1_000_000}
+    ).select("doc_id", "lang")
+
+
 def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic two-batch replay of the incremental curation state
     machine (CurationCheckpoint) — the cross-batch exact-hash anti-join,
@@ -853,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lm_score_trigram": q_lm_score_trigram,
         "curation_incremental": q_curation_incremental,
+        "dedup_containment": q_dedup_containment,
+        "token_budget_sample": q_token_budget_sample,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1633,6 +1665,53 @@ FROM sc GROUP BY doc_id
     # unigram floor), trained on even doc_ids, scored on odd; round4 on
     # the mean absorbs cross-engine ulps as in lm_score / bm25_search
     out["curation_incremental"] = _curation_incremental_sql()
+    # truncation-injected containment view; same shingle machinery as
+    # _jaccard_sql, ratios |A∩B|/|A| and /|B| instead of the union
+    out["dedup_containment"] = f"""
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(w[1:greatest(5, len(w) // 2)], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 7 = 0)
+), words AS (
+  SELECT doc_id, {_WORDS} AS w FROM dv
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pc AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       floor(common / sa.sz * 10000 + 0.5) / 10000 AS cont_a,
+       floor(common / sb.sz * 10000 + 0.5) / 10000 AS cont_b
+FROM pc JOIN sizes sa ON pc.a = sa.doc_id JOIN sizes sb ON pc.b = sb.doc_id
+WHERE greatest(floor(common / sa.sz * 10000 + 0.5) / 10000,
+               floor(common / sb.sz * 10000 + 0.5) / 10000) >= 0.9
+"""
+    # en 6000 / de 2500 token budgets, zh uncapped; floor-based cutoffs
+    # derived from the same per-stratum token totals in both engines
+    out["token_budget_sample"] = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS ntok
+  FROM documents
+), tot AS (SELECT lang, CAST(sum(ntok) AS DOUBLE) AS tot FROM tok GROUP BY lang),
+   pfx AS (
+  SELECT d.doc_id, d.lang, t.tot,
+         substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS p
+  FROM documents d JOIN tot t USING (lang)
+)
+SELECT doc_id, lang FROM pfx
+WHERE (lang = 'en' AND (6000 >= tot OR p < printf('%04x', CAST(floor(6000 / tot * 65536) AS BIGINT))))
+   OR (lang = 'de' AND (2500 >= tot OR p < printf('%04x', CAST(floor(2500 / tot * 65536) AS BIGINT))))
+   OR (lang = 'zh' AND (1000000 >= tot OR p < printf('%04x', CAST(floor(1000000 / tot * 65536) AS BIGINT))))
+"""
     out["lm_score_trigram"] = """
 WITH tok AS (
   SELECT doc_id,

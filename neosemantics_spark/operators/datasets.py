@@ -206,3 +206,59 @@ def stratified_sample(
         if others is not None:
             expr = others if expr is None else expr | others
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Deterministic sample hitting a per-stratum TOKEN budget in
+    expectation — the way pretraining mixes are actually specified
+    ("200B tokens of web, 30B of code"), as opposed to row fractions.
+
+    Plan: ONE small aggregate computes each stratum's total token count
+    (map-side-combined sum of `size(norm_tokens(text))`; the collect is
+    #strata rows — a mixing config, not data); the keep fraction is
+    `min(1, budget / total)` and the filter is the same shuffle-free
+    md5-threshold predicate as `stratified_sample`, keyed on
+    (stratum, id). The EXACT-cutoff alternative (order each stratum by
+    hash, take rows until the running token sum crosses the budget) is
+    deliberately rejected: the running sum is a per-stratum window sort
+    that funnels every stratum through one reducer — the classic
+    hot-partition collapse at corpus scale. The expectation-based
+    fraction is unbiased, deterministic, recomputable per row, and
+    within O(1/√n_docs) of the budget for any real stratum size.
+
+    Cutoffs use floor (not round) of frac·16^digits so any engine
+    reproduces them from the same totals without tie-breaking concerns.
+    Strata without a budget are dropped; budget >= total keeps the
+    whole stratum."""
+    totals = {
+        r[strata_col]: r["_tot"]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.size(norm_tokens(F.col(text_col)))).alias("_tot"))
+        .collect()
+    }
+    space = 16**digits
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))),
+        1,
+        digits,
+    )
+    expr = None
+    for stratum, budget in sorted(budgets.items()):
+        total = totals.get(stratum)
+        if not total or budget <= 0:
+            continue
+        base = F.col(strata_col) == stratum
+        if budget >= total:
+            cond = base
+        else:
+            cut = _hex_cutoff(int(budget / total * space), digits)
+            cond = base & (prefix < F.lit(cut))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr if expr is not None else F.lit(False))

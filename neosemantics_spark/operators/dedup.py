@@ -210,25 +210,14 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
 
 
 # --------------------------------------------------------------- jaccard
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
-                        text_col: str = "text",
-                        candidates: DataFrame | None = None) -> DataFrame:
-    """Exact k-shingle Jaccard for pairs above threshold.
-
-    Without `candidates`, joins on shared shingles (index join — still
-    not all-pairs; worst case bounded by shingle-posting sizes).
-
-    With `candidates` (e.g. from MinHash-LSH) the plan is PAIR-CENTRIC:
-    join each candidate pair with side a's shingle set (key: doc id),
-    then equi-join on (b, shingle) against the postings to count the
-    intersection. Cost is O(candidates × shingles-per-doc) — immune to
-    posting-list skew, unlike the posting self-join, whose pair
-    expansion is Σ|posting|² and explodes on hot shingles even after a
-    candidate semi-join (measured: a 100k-doc corpus with a tiny shared
-    vocabulary spent 158 s in the posting self-join at local[4]; the
-    pair-centric plan is bounded by the candidate count the LSH stage
-    already controls via its bucket cap). Semantics identical — exact
-    intersection counts either way."""
+def _pair_intersections(
+    docs: DataFrame, k: int, text_col: str, candidates: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the set-overlap verifiers: (pair_common(a, b,
+    common), sizes(doc_id, sz)) — exact k-shingle intersection counts
+    for candidate pairs (set-intersect plan) or all shingle-sharing
+    pairs (posting join). See `ngram_jaccard_pairs` for the measured
+    plan-shape rationale."""
     sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
@@ -277,9 +266,37 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
             .groupBy("a", "b")
             .agg(F.count("*").alias("common"))
         )
-    out = (
-        pair_common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+    return pair_common, sizes
+
+
+def _with_sizes(pair_common: DataFrame, sizes: DataFrame) -> DataFrame:
+    return pair_common.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a"
+    ).join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
+                        text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact k-shingle Jaccard for pairs above threshold.
+
+    Without `candidates`, joins on shared shingles (index join — still
+    not all-pairs; worst case bounded by shingle-posting sizes).
+
+    With `candidates` (e.g. from MinHash-LSH) the plan is PAIR-CENTRIC:
+    join each candidate pair with side a's shingle set (key: doc id),
+    then equi-join on (b, shingle) against the postings to count the
+    intersection. Cost is O(candidates × shingles-per-doc) — immune to
+    posting-list skew, unlike the posting self-join, whose pair
+    expansion is Σ|posting|² and explodes on hot shingles even after a
+    candidate semi-join (measured: a 100k-doc corpus with a tiny shared
+    vocabulary spent 158 s in the posting self-join at local[4]; the
+    pair-centric plan is bounded by the candidate count the LSH stage
+    already controls via its bucket cap). Semantics identical — exact
+    intersection counts either way."""
+    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates)
+    return (
+        _with_sizes(pair_common, sizes)
         .withColumn(
             "jaccard",
             round4(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))),
@@ -287,7 +304,32 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
+
+
+def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.9, k: int = 3,
+                            text_col: str = "text",
+                            candidates: DataFrame | None = None) -> DataFrame:
+    """Asymmetric near-duplicate detection: k-shingle CONTAINMENT
+    |A∩B|/|A| in both directions, kept when either side is mostly
+    inside the other.
+
+    Jaccard under-detects the commonest web-corpus duplication shape —
+    one document EMBEDDED in a larger one (quoted article, boilerplate
+    + body, truncated mirror): a doc fully contained in a 4× larger one
+    has Jaccard 0.25 but containment 1.0. Same measured pair-centric
+    plan as `ngram_jaccard_pairs` (shared `_pair_intersections` core:
+    set-intersect per candidate pair, no pair-keyed aggregation); the
+    only change is the two ratio columns. Returns
+    (a, b, cont_a: |A∩B|/|A|, cont_b: |A∩B|/|B|) with
+    max(cont_a, cont_b) >= threshold."""
+    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates)
+    return (
+        _with_sizes(pair_common, sizes)
+        .withColumn("cont_a", round4(F.col("common") / F.col("sza")))
+        .withColumn("cont_b", round4(F.col("common") / F.col("szb")))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("a", "b", "cont_a", "cont_b")
+    )
 
 
 # --------------------------------------------------------------- simhash

@@ -160,3 +160,49 @@ def test_ivf_topk_multi_assign_no_duplicates_and_superset(spark, sf_dir):
     b = {(r["query_id"], r["neighbor_id"]) for r in base.collect()}
     # replication only ADDS reachable candidates
     assert b <= set(pairs)
+
+
+def test_token_budget_sample(spark):
+    # 40 docs x 10 tokens per lang stratum -> 400 tokens each
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("ten little words pad pad pad pad pad pad pad").alias("text"),
+    )
+    # en capped at half its tokens, de uncapped, no budget -> dropped
+    out = ds.token_budget_sample(docs, {"en": 200, "de": 100_000})
+    n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert n["de"] == 40  # budget >= total keeps the whole stratum
+    assert 10 <= n.get("en", 0) <= 30  # ~half in expectation
+    # deterministic across evaluations
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in ds.token_budget_sample(docs, {"en": 200, "de": 100_000}).collect()}
+    assert a == b
+    # zero/absent budgets drop strata entirely
+    assert ds.token_budget_sample(docs, {"en": 0}).count() == 0
+
+
+def test_ngram_containment(spark):
+    from neosemantics_spark.operators import dedup
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (0, big),
+            (1, "alpha beta gamma delta epsilon zeta"),  # prefix: contained
+            (2, "totally unrelated words about other things entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r["a"], r["b"]): (r["cont_a"], r["cont_b"])
+            for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()}
+    assert (0, 1) in rows
+    ca, cb = rows[(0, 1)]
+    # doc 1's 4 shingles are all inside doc 0's 10 -> cont_b = 1.0,
+    # cont_a = 4/10 (Jaccard would be 0.4: below any dedup threshold)
+    assert cb == 1.0 and abs(ca - 0.4) < 1e-9
+    assert not any(2 in p for p in rows)
+    # candidate-driven path agrees with the posting path
+    cand = spark.createDataFrame([(0, 1)], ["a", "b"])
+    got = dedup.ngram_containment_pairs(docs, threshold=0.9, candidates=cand).collect()
+    assert [(r["a"], r["b"], r["cont_a"], r["cont_b"]) for r in got] == [(0, 1, ca, cb)]
