@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--lm-quantile", type=float, default=0.05)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the batch commits, merge all state batch directories "
+        "into one snapshot (bounds state-listing cost on long builds)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,7 +60,10 @@ def main() -> None:
         lm_quantile=args.lm_quantile,
     )
     if args.checkpoint:
-        res = CurationCheckpoint(spark, args.checkpoint).run(docs, bench, **opts)
+        cp = CurationCheckpoint(spark, args.checkpoint)
+        res = cp.run(docs, bench, **opts)
+        if args.compact:
+            res.metrics["compacted_batches"] = cp.compact()
         mode = "append"
     else:
         res = curate_corpus(docs, bench, **opts)
