@@ -272,6 +272,9 @@ def test_dataset_ops_plan_shapes(spark, sf_dir):
     for df in (
         datasets.hash_split(docs),
         datasets.stratified_sample(docs, {"en": 0.5}, default_fraction=0.1),
+        # token_budget_sample's returned frame is the same pure filter —
+        # its one aggregate ran driver-side at call time (#strata rows)
+        datasets.token_budget_sample(docs, {"en": 1000, "de": 500}),
     ):
         plan = formatted_plan(df)
         assert "Exchange" not in plan, plan[:1200]
