@@ -100,6 +100,8 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "text_quality",
         "decontam",
         "hash_split",
+        "token_budget_sample",
+        "lm_score_trigram",
         "events_window",
         "orders_rdf",
     ):
