@@ -551,6 +551,59 @@ def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_curation_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING curation layer under the same two-batch policy as
+    `curation_incremental`: batch 1 lands as a parquet file and an
+    availableNow foreachBatch stream curates it; batch 2 is appended and
+    a second stream run (same stream checkpoint — only the new file is
+    processed) curates it against the persisted state. The accepted
+    (doc_id, split) set must equal the DuckDB replay of the policy —
+    identical SQL oracle to curation_incremental, which is the point:
+    the streaming wrapper must add no semantics beyond micro-batch
+    delivery. This closes the last oracle-less component (round-3
+    verdict: incremental/streaming curation rested on pytest only)."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.streaming.stream import streaming_curate
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 < 2)
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = (
+        docs.filter(F.col("doc_id") % 3 > 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .unionByName(
+            third.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzznear")).alias("text"),
+            )
+        )
+        .unionByName(
+            third.select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qqfresh")).alias("text"),
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="curation_stream_")
+    src, out, ck, state = (f"{root}/{d}" for d in ("src", "out", "ck", "state"))
+    try:
+        b1.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        streaming_curate(stream, state, out, ck, lm_quantile=0.0).awaitTermination(600)
+        b2.write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+        streaming_curate(stream2, state, out, ck, lm_quantile=0.0).awaitTermination(600)
+        return (
+            spark.read.parquet(out)
+            .select("doc_id", F.col("split").cast("string").alias("split"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated (Jelinek-Mercer) trigram-LM scoring: train on even
     doc_ids, score the held-out odd half. One fidelity step below KenLM
@@ -883,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lm_score_trigram": q_lm_score_trigram,
         "curation_incremental": q_curation_incremental,
+        "curation_streaming": q_curation_streaming,
         "dedup_containment": q_dedup_containment,
         "token_budget_sample": q_token_budget_sample,
         "lang_id": q_lang_id,
@@ -1665,6 +1719,9 @@ FROM sc GROUP BY doc_id
     # unigram floor), trained on even doc_ids, scored on odd; round4 on
     # the mean absorbs cross-engine ulps as in lm_score / bm25_search
     out["curation_incremental"] = _curation_incremental_sql()
+    # the streaming wrapper must be policy-identical to the incremental
+    # state machine — same SQL replay
+    out["curation_streaming"] = _curation_incremental_sql()
     # truncation-injected containment view; same shingle machinery as
     # _jaccard_sql, ratios |A∩B|/|A| and /|B| instead of the union
     out["dedup_containment"] = f"""
