@@ -486,6 +486,14 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repetition_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: top-bigram character share and
+    duplicated-trigram character share per document."""
+    return text.repetition_features(_docs(spark, sf)).select(
+        "doc_id", "top_bigram_char_frac", "dup_trigram_char_frac"
+    )
+
+
 def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget dataset mixing: en capped at 6000 tokens, de at
     2500, zh uncapped (budget above the stratum total exercises the
@@ -939,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_streaming": q_curation_streaming,
         "dedup_containment": q_dedup_containment,
         "token_budget_sample": q_token_budget_sample,
+        "repetition_features": q_repetition_features,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1749,6 +1758,33 @@ SELECT a, b,
 FROM pc JOIN sizes sa ON pc.a = sa.doc_id JOIN sizes sb ON pc.b = sb.doc_id
 WHERE greatest(floor(common / sa.sz * 10000 + 0.5) / 10000,
                floor(common / sb.sz * 10000 + 0.5) / 10000) >= 0.9
+"""
+    # Gopher-style repetition metrics: max(cnt*len)/sum(cnt*len) over word
+    # bigrams, duplicated-trigram char share; round4-portable
+    out["repetition_features"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tok WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+  FROM tok WHERE len(toks) >= 3
+), c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+  floor(max(CASE WHEN n = 2 THEN cnt * length(gram) END)
+        / sum(CASE WHEN n = 2 THEN cnt * length(gram) END) * 10000 + 0.5) / 10000
+    AS top_bigram_char_frac,
+  floor(coalesce(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(gram) END), 0)
+        / sum(CASE WHEN n = 3 THEN cnt * length(gram) END) * 10000 + 0.5) / 10000
+    AS dup_trigram_char_frac
+FROM c GROUP BY doc_id
 """
     # en 6000 / de 2500 token budgets, zh uncapped; floor-based cutoffs
     # derived from the same per-stratum token totals in both engines

@@ -187,3 +187,62 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("redacted", redacted).withColumn(
         "n_emails", counts["email"]
     ).withColumn("n_urls", counts["url"]).withColumn("n_ips", counts["ip"])
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.2, the
+    standard "repetitious document" pretraining filters), re-expressed so
+    every value is engine-deterministic:
+
+    - `top_bigram_char_frac` — max over word 2-grams of
+      count·len(gram) / Σ count·len(gram): the character share the single
+      most repeated bigram would claim. Using max of the PRODUCT avoids
+      the tie-break ambiguity of "chars of the most frequent n-gram"
+      when counts tie across grams of different lengths.
+    - `dup_trigram_char_frac` — Σ over 3-grams with count > 1 of
+      count·len / Σ count·len: the character share of ALL repeated
+      trigrams. Boilerplate-heavy documents score near 1.
+
+    Plan: the guarded n-gram expansion (token array materialized once —
+    no CSE through lambda HOFs) explodes to (id, n, gram) rows, one
+    map-side-combined groupBy counts occurrences, and one conditional
+    aggregation per doc folds both metrics — two n-gram-keyed shuffles,
+    no windows, no UDFs. Documents with < 3 tokens carry a null
+    trigram fraction (< 2 tokens emit nothing at all)."""
+    from .datasets import norm_tokens
+
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+
+    def grams(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    rows = base.select(
+        "id", F.lit(2).alias("n"), F.explode(grams(2)).alias("gram")
+    ).unionByName(
+        base.select("id", F.lit(3).alias("n"), F.explode(grams(3)).alias("gram"))
+    )
+    counts = rows.groupBy("id", "n", "gram").agg(F.count("*").alias("cnt"))
+    wchars = (F.col("cnt") * F.length("gram")).cast("double")
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    return counts.groupBy(F.col("id").alias(id_col)).agg(
+        round4(
+            F.max(F.when(is2, wchars)) / F.sum(F.when(is2, wchars))
+        ).alias("top_bigram_char_frac"),
+        round4(
+            F.coalesce(
+                F.sum(F.when(is3 & (F.col("cnt") > 1), wchars)), F.lit(0.0)
+            )
+            / F.sum(F.when(is3, wchars))
+        ).alias("dup_trigram_char_frac"),
+    )

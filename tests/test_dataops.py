@@ -508,3 +508,27 @@ def test_ann_topk_router(spark, emb):
         assert set(out.columns) == {"query_id", "neighbor_id", "score", "rank"}
     with pytest.raises(ValueError, match="workload"):
         sim.ann_topk_router(emb, qids, workload="nope")
+
+
+def test_repetition_features(spark):
+    from neosemantics_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),           # one bigram repeated 4x
+            (1, "all words here are fully distinct"),  # no repetition
+            (2, "one two"),                            # bigram only, no trigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_features(docs).collect()}
+    # doc 0: single distinct bigram 'spam spam' -> top fraction 1.0; all
+    # 3 trigram occurrences are of one duplicated gram -> 1.0
+    assert rows[0]["top_bigram_char_frac"] == 1.0
+    assert rows[0]["dup_trigram_char_frac"] == 1.0
+    # doc 1: 5 distinct bigrams of varying length; no duplicate trigram
+    assert rows[1]["dup_trigram_char_frac"] == 0.0
+    assert 0 < rows[1]["top_bigram_char_frac"] < 0.5
+    # doc 2 has no trigrams -> null fraction, bigram side defined
+    assert rows[2]["top_bigram_char_frac"] == 1.0
+    assert rows[2]["dup_trigram_char_frac"] is None
