@@ -211,13 +211,28 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
 
 # --------------------------------------------------------------- jaccard
 def _pair_intersections(
-    docs: DataFrame, k: int, text_col: str, candidates: DataFrame | None
+    docs: DataFrame, k: int, text_col: str, candidates: DataFrame | None,
+    hash_bits: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of the set-overlap verifiers: (pair_common(a, b,
     common), sizes(doc_id, sz)) — exact k-shingle intersection counts
     for candidate pairs (set-intersect plan) or all shingle-sharing
     pairs (posting join). See `ngram_jaccard_pairs` for the measured
-    plan-shape rationale."""
+    plan-shape rationale.
+
+    `hash_bits` (candidate path only): 64 (default) keeps the full
+    xxhash64 per shingle — collision-free at any realistic set size, the
+    setting every oracle-gated path uses. 32 halves the per-pair shuffle
+    payload (both docs' hash arrays ride through the pair join: 24.6M
+    pairs × ~175 shingles × 8 B ≈ 34 GB). MEASURED HONESTLY at 500k
+    docs on this single host the knob is neutral (67.4 s vs 65.2 s at
+    local[16]) — the isolated stage is bound by the array_intersect
+    merge CPU, not local shuffle bytes — so it exists for
+    network-shuffled clusters where cross-node bytes are the constrained
+    resource, not as a local speedup. A 32-bit within-set collision
+    merges two shingles of ONE doc (P ≈ n²/2³³ ≈ 4e-6 at n=175,
+    shifting a Jaccard by ~1/175): immaterial for threshold decisions;
+    a pytest pins 32/64 output equality at test scale."""
     sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
@@ -235,8 +250,11 @@ def _pair_intersections(
         # the counting in-row — no billion-row aggregation exists.
         # The narrow repartition before collect_set mirrors
         # minhash_signatures (small per-task agg state).
+        h = F.xxhash64("shingle")
+        if hash_bits == 32:
+            h = (h % (2**31)).cast("int")
         sets = (
-            sh.select("doc_id", F.xxhash64("shingle").alias("sh_h"))
+            sh.select("doc_id", h.alias("sh_h"))
             .repartition(F.col("doc_id"))
             .groupBy("doc_id")
             .agg(F.array_sort(F.collect_set("sh_h")).alias("sh_set"))
@@ -277,7 +295,8 @@ def _with_sizes(pair_common: DataFrame, sizes: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
                         text_col: str = "text",
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        hash_bits: int = 64) -> DataFrame:
     """Exact k-shingle Jaccard for pairs above threshold.
 
     Without `candidates`, joins on shared shingles (index join — still
@@ -293,8 +312,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
     vocabulary spent 158 s in the posting self-join at local[4]; the
     pair-centric plan is bounded by the candidate count the LSH stage
     already controls via its bucket cap). Semantics identical — exact
-    intersection counts either way."""
-    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates)
+    intersection counts either way. `hash_bits=32` halves the
+    verification shuffle at stress scale (see _pair_intersections)."""
+    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates, hash_bits)
     return (
         _with_sizes(pair_common, sizes)
         .withColumn(
@@ -308,7 +328,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3,
 
 def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.9, k: int = 3,
                             text_col: str = "text",
-                            candidates: DataFrame | None = None) -> DataFrame:
+                            candidates: DataFrame | None = None,
+                            hash_bits: int = 64) -> DataFrame:
     """Asymmetric near-duplicate detection: k-shingle CONTAINMENT
     |A∩B|/|A| in both directions, kept when either side is mostly
     inside the other.
@@ -322,7 +343,7 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.9, k: int = 3,
     only change is the two ratio columns. Returns
     (a, b, cont_a: |A∩B|/|A|, cont_b: |A∩B|/|B|) with
     max(cont_a, cont_b) >= threshold."""
-    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates)
+    pair_common, sizes = _pair_intersections(docs, k, text_col, candidates, hash_bits)
     return (
         _with_sizes(pair_common, sizes)
         .withColumn("cont_a", round4(F.col("common") / F.col("sza")))

@@ -532,3 +532,12 @@ def test_repetition_features(spark):
     # doc 2 has no trigrams -> null fraction, bigram side defined
     assert rows[2]["top_bigram_char_frac"] == 1.0
     assert rows[2]["dup_trigram_char_frac"] is None
+
+
+def test_jaccard_hash_bits_32_matches_64(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    a = dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand)
+    b = dedup.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand, hash_bits=32)
+    ra = sorted((r["a"], r["b"], r["jaccard"]) for r in a.collect())
+    rb = sorted((r["a"], r["b"], r["jaccard"]) for r in b.collect())
+    assert ra == rb and ra  # identical results at test scale (collisions ~2^-33/pair)
