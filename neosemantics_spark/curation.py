@@ -209,17 +209,7 @@ class CurationCheckpoint:
         operations: a crash anywhere leaves HEAD on a complete older
         manifest. Single writer assumed (one Spark driver owns a state
         root — the same contract as the stream checkpoint)."""
-        import json
-        import os
-
-        head = os.path.join(self.p_commits, "HEAD")
-        try:
-            with open(head) as fh:
-                manifest = fh.read().strip()
-            with open(os.path.join(self.p_commits, manifest)) as fh:
-                return list(json.load(fh)["batches"])
-        except FileNotFoundError:
-            return []
+        return list(self._read_manifest()["batches"])
 
     def _table(self, path: str) -> DataFrame | None:
         """Read a state table's COMMITTED batch subdirectories only — an
@@ -276,30 +266,76 @@ class CurationCheckpoint:
             seqs = []
         return (max(seqs) + 1) if seqs else 0
 
-    def _publish(self, batches: list[str]) -> None:
+    def _read_manifest(self) -> dict:
+        import json
+        import os
+
+        head = os.path.join(self.p_commits, "HEAD")
+        try:
+            with open(head) as fh:
+                manifest = fh.read().strip()
+            with open(os.path.join(self.p_commits, manifest)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"batches": [], "history": []}
+
+    def _publish(self, batches: list[str], history: list[str]) -> None:
         """Write a new complete manifest and swap HEAD onto it with one
         atomic rename(2). On an object store this is one Iceberg
-        snapshot commit instead."""
+        snapshot commit instead. `batches` is the ACTIVE snapshot (what
+        state reads scan); `history` is the append-only commit order of
+        every curation batch ever published — compaction rewrites the
+        former and preserves the latter."""
         import json
         import os
 
         os.makedirs(self.p_commits, exist_ok=True)
         name = f"MANIFEST-{self._next_seq()}.json"
         with open(os.path.join(self.p_commits, name), "w") as fh:
-            json.dump({"batches": batches}, fh)
+            json.dump({"batches": batches, "history": history}, fh)
         tmp = os.path.join(self.p_commits, ".HEAD.tmp")
         with open(tmp, "w") as fh:
             fh.write(name)
         os.rename(tmp, os.path.join(self.p_commits, "HEAD"))
 
-    def _commit(self, batch_id: str) -> None:
+    def _commit(self, batch_id: str, metrics: dict | None = None) -> None:
         """Atomically publish a batch: append its id to the active set
         and swap HEAD. A crash between the table writes and this point
         leaves the previous snapshot intact; a crash between manifest
-        write and the rename orphans one manifest file (harmless)."""
-        active = self._committed()
-        if batch_id not in active:
-            self._publish(active + [batch_id])
+        write and the rename orphans one manifest file (harmless). The
+        batch's metrics are written as a ledger row BEFORE the swap, so
+        every committed batch has an audit record (what it dropped at
+        each stage — the curation twin of ImportCheckpoint's per-file
+        lineage + per-run metrics tables); an uncommitted batch's
+        ledger row is overwritten by its replay like its data dirs."""
+        import json
+        import os
+
+        if metrics is not None:
+            mdir = os.path.join(self.root, "metrics")
+            os.makedirs(mdir, exist_ok=True)
+            with open(os.path.join(mdir, f"{batch_id}.json"), "w") as fh:
+                json.dump(metrics, fh)
+        m = self._read_manifest()
+        if batch_id not in m["batches"]:
+            self._publish(
+                m["batches"] + [batch_id], m.get("history", []) + [batch_id]
+            )
+
+    def history(self) -> list[tuple[str, dict]]:
+        """[(batch_id, metrics)] for every COMMITTED batch, in commit
+        order — the audit trail of the whole incremental build.
+        Compaction does not erase it (metrics are history, not state)."""
+        import json
+        import os
+
+        out = []
+        for bid in self._read_manifest().get("history", []):
+            p = os.path.join(self.root, "metrics", f"{bid}.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    out.append((bid, json.load(fh)))
+        return out
 
     def compact(self) -> int:
         """Merge all committed batch directories of each state table
@@ -330,7 +366,7 @@ class CurationCheckpoint:
             merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
                 self._batch_dir(path, cid)
             )
-        self._publish([cid])
+        self._publish([cid], self._read_manifest().get("history", []))
         for path in (self.p_hashes, self.p_reps, self.p_buckets):
             for bid in active:
                 stale = self._batch_dir(path, bid)
@@ -623,7 +659,7 @@ class CurationCheckpoint:
         new_b.join(accepted.select(id_col), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(self._batch_dir(self.p_buckets, batch_id))
-        self._commit(batch_id)
+        self._commit(batch_id, metrics)
         if out_id != "doc_id":
             curated = curated.withColumnRenamed("doc_id", out_id)
         return CurationResult(curated, metrics)

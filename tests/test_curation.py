@@ -212,7 +212,7 @@ def test_checkpoint_crash_before_commit_replays_idempotently(spark, tmp_path):
     cp.run(b1, lm_quantile=0.0)
 
     crashing = CurationCheckpoint(spark, str(tmp_path / "state"))
-    crashing._commit = lambda bid: (_ for _ in ()).throw(RuntimeError("crash"))
+    crashing._commit = lambda bid, metrics=None: (_ for _ in ()).throw(RuntimeError("crash"))
     with pytest.raises(RuntimeError, match="crash"):
         crashing.run(b2, lm_quantile=0.0)
     # committed state still shows only batch 1
@@ -299,3 +299,25 @@ def test_checkpoint_compaction_preserves_semantics(spark, tmp_path):
     # both post-compaction batches commit on top of the snapshot (batch
     # 30 accepted nothing but its hash memory must persist)
     assert r3.metrics["n_accepted"] == 1 and len(cp._committed()) == 3
+
+
+def test_checkpoint_metrics_history_survives_compaction(spark, tmp_path):
+    """Every committed batch leaves an audit ledger row (metrics) in
+    commit order; compaction rewrites the ACTIVE snapshot but preserves
+    the history — the curation twin of ImportCheckpoint's per-run
+    metrics table."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    cp.run(spark.createDataFrame([(0, "first audit ledger document about spark")], ["doc_id", "text"]), lm_quantile=0.0)
+    cp.run(spark.createDataFrame([(1, "second audit ledger document about state")], ["doc_id", "text"]), lm_quantile=0.0)
+    h = cp.history()
+    assert len(h) == 2
+    assert all(m["n_accepted"] == 1 and m["batch_id"] == bid for bid, m in h)
+
+    cp.compact()
+    assert len(cp._committed()) == 1  # active snapshot compacted...
+    assert [bid for bid, _ in cp.history()] == [bid for bid, _ in h]  # ...history intact
+
+    cp.run(spark.createDataFrame([(2, "third audit ledger document about manifest")], ["doc_id", "text"]), lm_quantile=0.0)
+    assert len(cp.history()) == 3
