@@ -486,6 +486,25 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chunk_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document boilerplate profile over the same truncation-injected
+    view as dedup_containment (the truncated copies' leading chunks are
+    exact repeats of the originals' — aligned at position 0 because the
+    chunking is non-overlapping): per doc, the fraction of 8-token
+    chunks shared with at least one other document."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.greatest(F.lit(5), (F.size(w) / 2).cast("int"))
+    trunc = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, n), " ").alias("text"),
+    )
+    view = docs.unionByName(trunc)
+    return dedup.chunk_dup_stats(view, chunk_tokens=8).select(
+        "doc_id", "n_chunks", "shared_chunks", "dup_chunk_frac"
+    )
+
+
 def q_repetition_features(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition filters: top-bigram character share and
     duplicated-trigram character share per document."""
@@ -948,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "token_budget_sample": q_token_budget_sample,
         "repetition_features": q_repetition_features,
+        "chunk_dup_stats": q_chunk_dup_stats,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1758,6 +1778,34 @@ SELECT a, b,
 FROM pc JOIN sizes sa ON pc.a = sa.doc_id JOIN sizes sb ON pc.b = sb.doc_id
 WHERE greatest(floor(common / sa.sz * 10000 + 0.5) / 10000,
                floor(common / sb.sz * 10000 + 0.5) / 10000) >= 0.9
+"""
+    # chunk-level boilerplate over the truncation-injected view: chunks
+    # are 8 non-overlapping lowered-whitespace tokens; shared = present
+    # in >1 distinct doc
+    out["chunk_dup_stats"] = """
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(w[1:greatest(5, len(w) // 2)], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 7 = 0)
+), tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM dv
+), nch AS (
+  SELECT doc_id, w, greatest(1, CAST(ceil(len(w) / 8.0) AS INT)) AS nc FROM tok
+), ch AS (
+  SELECT doc_id, array_to_string(w[(i*8 + 1):(i*8 + 8)], ' ') AS chunk_text
+  FROM nch, unnest(range(0, nc)) AS g(i)
+), per_chunk AS (
+  SELECT chunk_text, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+       floor(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_chunk_frac
+FROM ch c JOIN per_chunk p USING (chunk_text)
+GROUP BY c.doc_id
 """
     # Gopher-style repetition metrics: max(cnt*len)/sum(cnt*len) over word
     # bigrams, duplicated-trigram char share; round4-portable

@@ -353,6 +353,56 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.9, k: int = 3,
     )
 
 
+def chunk_dup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SUB-document duplication profile — the suffix-array-dedup-lite
+    signal: how much of each document consists of token chunks that also
+    appear in OTHER documents (shared headers, license boilerplate,
+    templated sections). Document-level dedup (exact/MinHash) misses
+    this entirely: two long documents sharing a 30% boilerplate block
+    have low Jaccard and distinct hashes, yet a third of their tokens
+    are corpus-redundant. Exact suffix-array substring dedup
+    (Lee et al. 2022) is the full-strength version; fixed non-overlapping
+    chunks are its join-shaped approximation — alignment-sensitive but
+    with the same corpus-wide shuffle profile.
+
+    Returns (doc_id, n_chunks, shared_chunks, dup_chunk_frac): a chunk
+    is shared when its content occurs in more than one DISTINCT doc.
+
+    Plan: the narrow chunker (text.chunk_documents, overlap 0) → chunk
+    identity = sha2(chunk_text) so everything downstream shuffles
+    64-byte keys, never chunk text → distinct (chunk, doc) pairs →
+    per-chunk doc counts (two map-side-combined groupBys; distinct
+    before counting avoids the Expand a count_distinct would plan) →
+    join back and fold per doc. All equi-keyed; no windows, no UDFs."""
+    from .text import chunk_documents
+
+    ch = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    )
+    h = ch.select(id_col, F.sha2(F.col("chunk_text"), 256).alias("ch"))
+    per_chunk = (
+        h.select("ch", id_col)
+        .distinct()
+        .groupBy("ch")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        h.join(per_chunk, "ch")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            shared.cast("bigint").alias("shared_chunks"),
+            round4(shared / F.count("*")).alias("dup_chunk_frac"),
+        )
+    )
+
+
 # --------------------------------------------------------------- simhash
 def simhash(docs: DataFrame, text_col: str = "text", nbits: int = 32) -> DataFrame:
     """32-bit SimHash as a bit string. Bit i of a token = 1 iff hex digit i

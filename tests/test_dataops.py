@@ -541,3 +541,22 @@ def test_jaccard_hash_bits_32_matches_64(spark, docs):
     ra = sorted((r["a"], r["b"], r["jaccard"]) for r in a.collect())
     rb = sorted((r["a"], r["b"], r["jaccard"]) for r in b.collect())
     assert ra == rb and ra  # identical results at test scale (collisions ~2^-33/pair)
+
+
+def test_chunk_dup_stats(spark):
+    shared_block = "one two three four five six seven eight"  # exactly one 8-token chunk
+    docs = spark.createDataFrame(
+        [
+            (0, shared_block + " unique tail of document zero right here"),
+            (1, shared_block + " a different unique tail for doc one"),
+            (2, "entirely original content with no shared chunks anywhere at all over here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.chunk_dup_stats(docs, chunk_tokens=8).collect()}
+    # docs 0/1: first chunk is the shared block (aligned at position 0),
+    # second chunk unique -> 1 of 2 shared
+    for d in (0, 1):
+        assert rows[d]["n_chunks"] == 2 and rows[d]["shared_chunks"] == 1
+        assert rows[d]["dup_chunk_frac"] == 0.5
+    assert rows[2]["shared_chunks"] == 0 and rows[2]["dup_chunk_frac"] == 0.0
