@@ -505,6 +505,23 @@ def q_chunk_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document dedup action over the truncation-injected view: the
+    truncated (+40M-id) copies lose every aligned chunk to their
+    originals and keep only their partial trailing chunk."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.greatest(F.lit(5), (F.size(w) / 2).cast("int"))
+    trunc = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, n), " ").alias("text"),
+    )
+    view = docs.unionByName(trunc)
+    return dedup.dedup_chunks(view, chunk_tokens=8).select(
+        "doc_id", "text_deduped", "n_chunks_kept", "n_chunks_dropped"
+    )
+
+
 def q_repetition_features(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition filters: top-bigram character share and
     duplicated-trigram character share per document."""
@@ -968,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "repetition_features": q_repetition_features,
         "chunk_dup_stats": q_chunk_dup_stats,
+        "dedup_chunks": q_dedup_chunks,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -1806,6 +1824,40 @@ SELECT c.doc_id,
        floor(sum(CASE WHEN p.n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS dup_chunk_frac
 FROM ch c JOIN per_chunk p USING (chunk_text)
 GROUP BY c.doc_id
+"""
+    # chunk-level dedup action: each chunk content survives only in its
+    # min-id document; docs re-assembled from kept chunks in index order
+    out["dedup_chunks"] = """
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(w[1:greatest(5, len(w) // 2)], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % 7 = 0)
+), tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM dv
+), nch AS (
+  SELECT doc_id, w, greatest(1, CAST(ceil(len(w) / 8.0) AS INT)) AS nc FROM tok
+), ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[(i*8 + 1):(i*8 + 8)], ' ') AS chunk_text
+  FROM nch, unnest(range(0, nc)) AS g(i)
+), fst AS (SELECT chunk_text, min(doc_id) AS first_doc FROM ch GROUP BY 1),
+   tot AS (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY 1),
+   kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk_text
+  FROM ch c JOIN fst f USING (chunk_text) WHERE c.doc_id = f.first_doc
+), reb AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.text_deduped, '') AS text_deduped,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_kept,
+       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_dropped
+FROM tot t LEFT JOIN reb r USING (doc_id)
 """
     # Gopher-style repetition metrics: max(cnt*len)/sum(cnt*len) over word
     # bigrams, duplicated-trigram char share; round4-portable

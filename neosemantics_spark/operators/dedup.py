@@ -403,6 +403,60 @@ def chunk_dup_stats(
     )
 
 
+def dedup_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document dedup ACTION (the `chunk_dup_stats` profile turned
+    into a transform, approximating exact-substring dedup à la Lee et
+    al. 2022): every chunk's content survives only in the chunk's FIRST
+    (min-id) document; later documents keep their unique chunks and are
+    re-assembled without the corpus-duplicated blocks. Within-document
+    repetition is untouched (both instances live in the same min doc) —
+    that is `repetition_features`' axis.
+
+    Returns (doc_id, text_deduped, n_chunks_kept, n_chunks_dropped);
+    a document that was pure boilerplate comes back with empty text,
+    not dropped — the caller decides the fate of emptied docs.
+
+    Plan: chunker → sha2 chunk keys → per-chunk min-doc (one
+    map-side-combined groupBy — min absorbs hot boilerplate keys
+    exactly like the CC min-agg) → keep-filter → per-doc re-assembly
+    via array_sort(collect_list(struct(idx, text))) (each doc's chunks
+    co-locate on the doc key; the sort is in-row, not a window)."""
+    from .text import chunk_documents
+
+    ch = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).select(id_col, "chunk_idx", "chunk_text", F.sha2(F.col("chunk_text"), 256).alias("ch"))
+    first = ch.groupBy("ch").agg(F.min(id_col).alias("_first_doc"))
+    totals = ch.groupBy(id_col).agg(F.count("*").alias("_n_total"))
+    kept = ch.join(first, "ch").filter(F.col(id_col) == F.col("_first_doc"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count("*").alias("n_chunks_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_chunks_kept", F.lit(0)).cast("bigint").alias("n_chunks_kept"),
+            (F.col("_n_total") - F.coalesce("n_chunks_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_chunks_dropped"),
+        )
+    )
+
+
 # --------------------------------------------------------------- simhash
 def simhash(docs: DataFrame, text_col: str = "text", nbits: int = 32) -> DataFrame:
     """32-bit SimHash as a bit string. Bit i of a token = 1 iff hex digit i

@@ -560,3 +560,23 @@ def test_chunk_dup_stats(spark):
         assert rows[d]["n_chunks"] == 2 and rows[d]["shared_chunks"] == 1
         assert rows[d]["dup_chunk_frac"] == 0.5
     assert rows[2]["shared_chunks"] == 0 and rows[2]["dup_chunk_frac"] == 0.0
+
+
+def test_dedup_chunks_action(spark):
+    shared = "one two three four five six seven eight"  # one aligned 8-token chunk
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " zero unique tail tokens here now yes ok"),
+            (1, shared + " totally different ending for doc one"),
+            (2, shared),  # pure boilerplate: emptied, not dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_chunks(docs, chunk_tokens=8).collect()}
+    # doc 0 is the chunk's first doc: keeps everything
+    assert rows[0]["n_chunks_dropped"] == 0 and rows[0]["text_deduped"].startswith(shared)
+    # doc 1 loses the shared chunk, keeps its unique tail
+    assert rows[1]["n_chunks_kept"] == 1 and rows[1]["n_chunks_dropped"] == 1
+    assert rows[1]["text_deduped"] == "totally different ending for doc one"
+    # doc 2 comes back emptied with the drop accounted
+    assert rows[2]["text_deduped"] == "" and rows[2]["n_chunks_dropped"] == 1
