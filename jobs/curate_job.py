@@ -8,6 +8,13 @@ Example:
         --input /data/documents --output /data/curated \
         --bench /data/eval_docs --jaccard-threshold 0.8 --lm-quantile 0.05
 
+    # incremental (every batch dedups against all previously accepted
+    # state; add --compact periodically to merge the snapshot's batch
+    # directories and bound state-listing cost):
+    spark-submit --py-files /tmp/pkg.zip jobs/curate_job.py \
+        --input /data/batch_042 --output /data/curated \
+        --checkpoint /data/curation_state --compact
+
 Writes the curated corpus partitioned by split (train/val/test
 subdirectories — the layout a trainer consumes directly) and prints one
 JSON metrics line accounting for every stage's drops.
