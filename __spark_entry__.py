@@ -1151,13 +1151,13 @@ def _mh_block(src: str, p: str) -> str:
     defaults."""
     return f"""{p}w AS (
   SELECT doc_id, {_WORDS} AS w FROM {src}
-), {p}sh AS (
+), {p}sh AS MATERIALIZED (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM {p}w
-), {p}sig AS (
+), {p}sig AS MATERIALIZED (
   SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
   FROM {p}sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
   GROUP BY doc_id, seed
-), {p}band AS (
+), {p}band AS MATERIALIZED (
   SELECT doc_id, seed % 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
   FROM {p}sig GROUP BY doc_id, seed % 4
 )"""
@@ -1168,9 +1168,9 @@ def _verify_block(sh: str, pairs: str, p: str, threshold: float = 0.8) -> str:
     `sh` (prefix `p`): rounded-4 Jaccard >= threshold, like
     dedup.ngram_jaccard_pairs. Pairs sharing no shingle never reach
     `{p}pc` (Jaccard 0, below any useful threshold)."""
-    return f"""{p}sz AS (
+    return f"""{p}sz AS MATERIALIZED (
   SELECT doc_id, count(*) AS sz FROM {sh} GROUP BY doc_id
-), {p}pc AS (
+), {p}pc AS MATERIALIZED (
   SELECT pr.a, pr.b, count(*) AS common
   FROM {pairs} pr
   JOIN {sh} l ON l.doc_id = pr.a
@@ -1204,7 +1204,7 @@ b2 AS (
   UNION ALL
   SELECT doc_id + 30000000, text || ' qqfresh' FROM documents WHERE doc_id % 3 = 0
 ),
-f1 AS (
+f1 AS MATERIALIZED (
   SELECT b.doc_id, b.text FROM b1 b
   JOIN (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY text) k USING (doc_id)
 ),
@@ -1222,11 +1222,11 @@ areach AS (
   SELECT r.a, s.b FROM areach r JOIN asym s ON r.b = s.a WHERE s.b <> r.a
 ),
 acomp AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM areach GROUP BY a),
-reps1 AS (
+reps1 AS MATERIALIZED (
   SELECT f.doc_id, f.text FROM f1 f LEFT JOIN acomp c USING (doc_id)
   WHERE coalesce(c.cluster_id, f.doc_id) = f.doc_id
 ),
-f2 AS (
+f2 AS MATERIALIZED (
   SELECT b.doc_id, b.text FROM b2 b
   JOIN (SELECT min(doc_id) AS doc_id FROM b2 GROUP BY text) k USING (doc_id)
   WHERE b.text NOT IN (SELECT text FROM b1)
@@ -1243,7 +1243,7 @@ xpairs AS (
   FROM nband n JOIN oldband o ON n.band = o.band AND n.bucket = o.bucket
 ),
 allpairs AS (SELECT a, b FROM npairs UNION SELECT a, b FROM xpairs),
-vsh AS (
+vsh AS MATERIALIZED (
   SELECT doc_id, shingle FROM nsh
   UNION ALL
   SELECT s.doc_id, s.shingle FROM ash s JOIN reps1 r USING (doc_id)

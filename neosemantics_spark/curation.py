@@ -594,40 +594,51 @@ class CurationCheckpoint:
 
         # 4. LM filter against the persisted reference model (trained on
         # the first batch's survivors; later batches score against the
-        # same distribution instead of drifting with each batch)
+        # same distribution instead of drifting with each batch). With
+        # the filter DISABLED (lm_quantile == 0) and no model persisted
+        # yet, skip training and scoring entirely — the rows pass
+        # through with a null avg_logp, and the reference model will be
+        # trained by the first batch that actually enables the filter
+        # (note: that batch's survivors, not batch 1's, then define the
+        # reference distribution).
         big, uni = self._lm_tables()
-        if big is None or uni is None:
-            model = lm.train_bigram_lm(clean, id_col, text_col)
-            model.bigrams.write.mode("overwrite").parquet(self.p_lm_big)
-            model.unigrams.write.mode("overwrite").parquet(self.p_lm_uni)
-            # vocab size rides in meta.json so later batches skip the
-            # count() job (the docstring's lm_meta — one scalar, no table)
-            meta["lm_vocab_size"] = model.vocab_size
-            self._write_meta(meta)
-            model = lm.BigramLM(
-                self.spark.read.parquet(self.p_lm_big),
-                self.spark.read.parquet(self.p_lm_uni),
-                model.vocab_size,
-            )
+        if lm_quantile <= 0 and big is None and uni is None:
+            # filter disabled and no reference model persisted: rows
+            # pass through with a null score, nothing is trained
+            scored = clean.withColumn("avg_logp", F.lit(None).cast("double"))
         else:
-            vs = meta.get("lm_vocab_size")
-            model = lm.BigramLM(big, uni, vs if vs is not None else uni.count())
-        scored = clean.join(
-            lm.lm_score(clean, model, id_col=id_col, text_col=text_col).select(
-                id_col, "avg_logp"
-            ),
-            id_col,
-            "left",
-        ).cache()
-        if lm_quantile > 0:
-            [cutoff] = scored.filter(F.col("avg_logp").isNotNull()).approxQuantile(
-                "avg_logp", [lm_quantile], 0.001
-            ) or [None]
-            if cutoff is not None:
-                scored = scored.filter(
-                    F.col("avg_logp").isNull() | (F.col("avg_logp") >= cutoff)
+            if big is None or uni is None:
+                model = lm.train_bigram_lm(clean, id_col, text_col)
+                model.bigrams.write.mode("overwrite").parquet(self.p_lm_big)
+                model.unigrams.write.mode("overwrite").parquet(self.p_lm_uni)
+                # vocab size rides in meta.json so later batches skip the
+                # count() job (the docstring's lm_meta — one scalar, no table)
+                meta["lm_vocab_size"] = model.vocab_size
+                self._write_meta(meta)
+                model = lm.BigramLM(
+                    self.spark.read.parquet(self.p_lm_big),
+                    self.spark.read.parquet(self.p_lm_uni),
+                    model.vocab_size,
                 )
-            metrics["lm_cutoff"] = cutoff
+            else:
+                vs = meta.get("lm_vocab_size")
+                model = lm.BigramLM(big, uni, vs if vs is not None else uni.count())
+            scored = clean.join(
+                lm.lm_score(clean, model, id_col=id_col, text_col=text_col).select(
+                    id_col, "avg_logp"
+                ),
+                id_col,
+                "left",
+            ).cache()
+            if lm_quantile > 0:
+                [cutoff] = scored.filter(
+                    F.col("avg_logp").isNotNull()
+                ).approxQuantile("avg_logp", [lm_quantile], 0.001) or [None]
+                if cutoff is not None:
+                    scored = scored.filter(
+                        F.col("avg_logp").isNull() | (F.col("avg_logp") >= cutoff)
+                    )
+                metrics["lm_cutoff"] = cutoff
         # sever lineage BEFORE the state writes below: the accepted set's
         # plan anti-joins the committed text_hashes parquet, and writing
         # under the same state root must not lazily re-evaluate the
