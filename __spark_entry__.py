@@ -539,6 +539,23 @@ def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: vec_id % 20 == 0 vectors act as
+    the held-out benchmark; training vectors (the rest) within cosine
+    0.35 of any bench vector are flagged with their max similarity and
+    hit count (the iid synthetic embeddings concentrate near cosine 0 —
+    max observed ≈ 0.49 — so 0.35 flags a non-trivial tail; a real
+    deployment sets ~0.9+ against paraphrase-level similarity)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return similarity.semantic_decontaminate(train, bench, threshold=0.35).select(
+        "vec_id", "max_bench_cosine", "n_bench_hits"
+    )
+
+
 def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic two-batch replay of the incremental curation state
     machine (CurationCheckpoint) — the cross-batch exact-hash anti-join,
@@ -982,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_incremental": q_curation_incremental,
         "curation_streaming": q_curation_streaming,
         "dedup_containment": q_dedup_containment,
+        "semantic_decontam": q_semantic_decontam,
         "token_budget_sample": q_token_budget_sample,
         "repetition_features": q_repetition_features,
         "chunk_dup_stats": q_chunk_dup_stats,
@@ -1947,6 +1965,23 @@ WITH tok AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
 FROM sc GROUP BY doc_id
+"""
+    # embedding-space decontamination: bench = vec_id % 20 == 0,
+    # max cosine + hit count per training vector above 0.35
+    out["semantic_decontam"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 20 = 0),
+   t AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+   sc AS (
+  SELECT t.vec_id,
+         floor(list_dot_product(t.v, b.bv)
+               / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+               * 10000 + 0.5) / 10000 AS cos
+  FROM t CROSS JOIN b
+)
+SELECT vec_id, max(cos) AS max_bench_cosine, CAST(count(*) AS BIGINT) AS n_bench_hits
+FROM sc WHERE cos >= 0.35 GROUP BY vec_id
 """
     out["embedding_near_dups"] = f"""
 WITH e AS (

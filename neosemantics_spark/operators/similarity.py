@@ -574,6 +574,47 @@ def ivf_topk(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """(vec_id, max_bench_cosine, n_bench_hits) for every training
+    vector whose embedding is within cosine `threshold` of ANY
+    benchmark/eval vector — the semantic complement of the n-gram
+    `datasets.decontaminate` (paraphrased or re-formatted eval items
+    share no 8-gram but sit next to the eval set in embedding space).
+
+    Plan shape for 100 TB: eval sets are fixed-size, so the bench
+    vectors broadcast (size-gated like every broadcast in this engine —
+    the hint is withheld above `broadcast_limit` rows and Catalyst/AQE
+    falls back to a shuffled join); the training side is ONE narrow
+    scan — explode bench per train row via the broadcasted array? No:
+    a broadcast JOIN with an in-row cosine, aggregated map-side per
+    train id. Nothing wider than (id, cosine) shuffles, and the
+    corpus-side scan count is exactly 1."""
+    t = _double_vecs(train, id_col, vec_col)
+    b = _double_vecs(bench, id_col, vec_col).select(
+        F.col("id").alias("_bid"), F.col("v").alias("_bv")
+    )
+    small = b.limit(broadcast_limit + 1).count() <= broadcast_limit
+    bj = F.broadcast(b) if small else b
+    scored = t.crossJoin(bj).select(
+        "id", round4(cosine(F.col("v"), F.col("_bv"))).alias("cos")
+    )
+    return (
+        scored.filter(F.col("cos") >= threshold)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.max("cos").alias("max_bench_cosine"),
+            F.count("*").alias("n_bench_hits"),
+        )
+    )
+
+
 def ann_topk_router(
     embeddings: DataFrame,
     query_ids: list[int],

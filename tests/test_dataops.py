@@ -580,3 +580,21 @@ def test_dedup_chunks_action(spark):
     assert rows[1]["text_deduped"] == "totally different ending for doc one"
     # doc 2 comes back emptied with the drop accounted
     assert rows[2]["text_deduped"] == "" and rows[2]["n_chunks_dropped"] == 1
+
+
+def test_semantic_decontaminate(spark):
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r for r in similarity.semantic_decontaminate(train, bench, threshold=0.9).collect()}
+    # vec 1 is identical (cos 1.0), vec 2 close (cos ~0.994), vec 3 orthogonal
+    assert set(rows) == {1, 2}
+    assert rows[1]["max_bench_cosine"] == 1.0 and rows[1]["n_bench_hits"] == 1
+    assert rows[2]["max_bench_cosine"] > 0.99
+    # plan: bench side broadcast below the gate
+    plan = similarity.semantic_decontaminate(train, bench)._jdf.queryExecution().analyzed().toString()
+    assert "Hint" in plan
+    big_gate = similarity.semantic_decontaminate(train, bench, broadcast_limit=0)
+    assert "Hint" not in big_gate._jdf.queryExecution().analyzed().toString()
