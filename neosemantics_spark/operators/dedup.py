@@ -425,7 +425,11 @@ def dedup_chunks(
     map-side-combined groupBy — min absorbs hot boilerplate keys
     exactly like the CC min-agg) → keep-filter → per-doc re-assembly
     via array_sort(collect_list(struct(idx, text))) (each doc's chunks
-    co-locate on the doc key; the sort is in-row, not a window)."""
+    co-locate on the doc key; the sort is in-row, not a window). The
+    re-assembly buffers ONE document's kept chunks in one aggregation
+    row — fine for web-document sizes (MBs), a row-size hazard for
+    pathological GB-scale documents, which should be length-capped
+    upstream (the standard corpus-ingest guard) before this operator."""
     from .text import chunk_documents
 
     ch = chunk_documents(

@@ -591,11 +591,14 @@ def semantic_decontaminate(
     Plan shape for 100 TB: eval sets are fixed-size, so the bench
     vectors broadcast (size-gated like every broadcast in this engine —
     the hint is withheld above `broadcast_limit` rows and Catalyst/AQE
-    falls back to a shuffled join); the training side is ONE narrow
-    scan — explode bench per train row via the broadcasted array? No:
-    a broadcast JOIN with an in-row cosine, aggregated map-side per
-    train id. Nothing wider than (id, cosine) shuffles, and the
-    corpus-side scan count is exactly 1."""
+    falls back to a shuffled join); the corpus side is scanned exactly
+    once, the cosine is in-row, and nothing wider than (id, cosine)
+    shuffles. Honest cost note: this is brute force — O(n_train ×
+    n_bench) dot products. At 10k bench vectors that is the right
+    trade (no index build, exact answer); if the "bench" side grows to
+    corpus scale this is the wrong operator — bucket both sides with
+    `lsh_bucket_table` and verify candidates, as `embedding_near_dups`
+    does."""
     t = _double_vecs(train, id_col, vec_col)
     b = _double_vecs(bench, id_col, vec_col).select(
         F.col("id").alias("_bid"), F.col("v").alias("_bv")
