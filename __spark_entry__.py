@@ -508,7 +508,10 @@ def q_chunk_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document dedup action over the truncation-injected view: the
     truncated (+40M-id) copies lose every aligned chunk to their
-    originals and keep only their partial trailing chunk."""
+    originals and keep only their partial trailing chunk. Re-assembly is
+    from raw text spans (byte-preserving); max_doc_tokens=60 exercises
+    the oversized-doc passthrough guard on the longer half of the
+    corpus (docs above the cap return untouched, flagged)."""
     docs = _docs(spark, sf).select("doc_id", "text")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n = F.greatest(F.lit(5), (F.size(w) / 2).cast("int"))
@@ -517,8 +520,8 @@ def q_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.slice(w, 1, n), " ").alias("text"),
     )
     view = docs.unionByName(trunc)
-    return dedup.dedup_chunks(view, chunk_tokens=8).select(
-        "doc_id", "text_deduped", "n_chunks_kept", "n_chunks_dropped"
+    return dedup.dedup_chunks(view, chunk_tokens=8, max_doc_tokens=60).select(
+        "doc_id", "text_deduped", "n_chunks_kept", "n_chunks_dropped", "passthrough"
     )
 
 
@@ -554,6 +557,24 @@ def q_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_decontaminate(train, bench, threshold=0.35).select(
         "vec_id", "max_bench_cosine", "n_bench_hits"
     )
+
+
+def q_semantic_decontam_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The scale path of embedding-space decontamination: hyperplane-LSH
+    bucket both sides (nbits=4, bands=2), multi-probe the bench side
+    (Hamming radius 1), equi-join candidates, exact-cosine verify — no
+    cross join anywhere, so both sides may be corpus-scale. The oracle
+    replays the identical bucketing/probing/verify in SQL, so the match
+    is hash-exact including LSH misses (recall vs brute force is
+    measured separately in BASELINE.md)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return similarity.semantic_decontaminate(
+        train, bench, threshold=0.35, prefilter="lsh", nbits=4, bands=2, probe_bits=1
+    ).select("vec_id", "max_bench_cosine", "n_bench_hits")
 
 
 def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -1000,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_streaming": q_curation_streaming,
         "dedup_containment": q_dedup_containment,
         "semantic_decontam": q_semantic_decontam,
+        "semantic_decontam_lsh": q_semantic_decontam_lsh,
         "token_budget_sample": q_token_budget_sample,
         "repetition_features": q_repetition_features,
         "chunk_dup_stats": q_chunk_dup_stats,
@@ -1845,6 +1867,10 @@ GROUP BY c.doc_id
 """
     # chunk-level dedup action: each chunk content survives only in its
     # min-id document; docs re-assembled from kept chunks in index order
+    # raw-span chunking replica: segments = word + trailing whitespace
+    # (leading ws folded into segment 1), matching on the normalized
+    # chunk, re-assembly by '' concat of kept raw spans; docs over 60
+    # segments bypass as passthrough rows
     out["dedup_chunks"] = """
 WITH dv AS (
   SELECT doc_id, text FROM documents
@@ -1853,29 +1879,47 @@ WITH dv AS (
          array_to_string(w[1:greatest(5, len(w) // 2)], ' ') AS text
   FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         FROM documents WHERE doc_id % 7 = 0)
-), tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM dv
-), nch AS (
-  SELECT doc_id, w, greatest(1, CAST(ceil(len(w) / 8.0) AS INT)) AS nc FROM tok
+), seg AS (
+  SELECT doc_id, text,
+         CASE WHEN len(s0) = 0 THEN [text]
+              ELSE list_prepend(lead || s0[1], s0[2:]) END AS s
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(text, '\\S+\\s*') AS s0,
+               regexp_extract(text, '^\\s*') AS lead
+        FROM dv)
+), gated AS (SELECT doc_id, text, s, len(s) > 60 AS over FROM seg),
+   nch AS (
+  SELECT doc_id, s, greatest(1, CAST(ceil(len(s) / 8.0) AS INT)) AS nc
+  FROM gated WHERE NOT over
 ), ch AS (
   SELECT doc_id, i AS chunk_idx,
-         array_to_string(w[(i*8 + 1):(i*8 + 8)], ' ') AS chunk_text
+         array_to_string(s[(i*8 + 1):(i*8 + 8)], '') AS chunk_raw
   FROM nch, unnest(range(0, nc)) AS g(i)
-), fst AS (SELECT chunk_text, min(doc_id) AS first_doc FROM ch GROUP BY 1),
-   tot AS (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY 1),
+), chn AS (
+  SELECT doc_id, chunk_idx, chunk_raw,
+         array_to_string(list_filter(string_split_regex(trim(lower(chunk_raw)), '\\s+'),
+                                     t -> t <> ''), ' ') AS chunk_norm
+  FROM ch
+), fst AS (SELECT chunk_norm, min(doc_id) AS first_doc FROM chn GROUP BY 1),
+   tot AS (SELECT doc_id, count(*) AS n_total FROM chn GROUP BY 1),
    kept AS (
-  SELECT c.doc_id, c.chunk_idx, c.chunk_text
-  FROM ch c JOIN fst f USING (chunk_text) WHERE c.doc_id = f.first_doc
+  SELECT c.doc_id, c.chunk_idx, c.chunk_raw
+  FROM chn c JOIN fst f USING (chunk_norm) WHERE c.doc_id = f.first_doc
 ), reb AS (
-  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_deduped,
+  SELECT doc_id, string_agg(chunk_raw, '' ORDER BY chunk_idx) AS text_deduped,
          count(*) AS n_kept
   FROM kept GROUP BY doc_id
 )
 SELECT t.doc_id,
        coalesce(r.text_deduped, '') AS text_deduped,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_kept,
-       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_dropped
+       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_chunks_dropped,
+       FALSE AS passthrough
 FROM tot t LEFT JOIN reb r USING (doc_id)
+UNION ALL
+SELECT doc_id, text AS text_deduped, CAST(0 AS BIGINT) AS n_chunks_kept,
+       CAST(0 AS BIGINT) AS n_chunks_dropped, TRUE AS passthrough
+FROM gated WHERE over
 """
     # Gopher-style repetition metrics: max(cnt*len)/sum(cnt*len) over word
     # bigrams, duplicated-trigram char share; round4-portable
@@ -1919,9 +1963,9 @@ WITH tok AS (
   FROM documents d JOIN tot t USING (lang)
 )
 SELECT doc_id, lang FROM pfx
-WHERE (lang = 'en' AND (6000 >= tot OR p < printf('%04x', CAST(floor(6000 / tot * 65536) AS BIGINT))))
-   OR (lang = 'de' AND (2500 >= tot OR p < printf('%04x', CAST(floor(2500 / tot * 65536) AS BIGINT))))
-   OR (lang = 'zh' AND (1000000 >= tot OR p < printf('%04x', CAST(floor(1000000 / tot * 65536) AS BIGINT))))
+WHERE (lang = 'en' AND (6000 >= tot OR p < printf('%04x', CAST(greatest(1, floor(6000 / tot * 65536)) AS BIGINT))))
+   OR (lang = 'de' AND (2500 >= tot OR p < printf('%04x', CAST(greatest(1, floor(2500 / tot * 65536)) AS BIGINT))))
+   OR (lang = 'zh' AND (1000000 >= tot OR p < printf('%04x', CAST(greatest(1, floor(1000000 / tot * 65536)) AS BIGINT))))
 """
     out["lm_score_trigram"] = """
 WITH tok AS (
@@ -1979,6 +2023,43 @@ WITH e AS (
                / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv)))
                * 10000 + 0.5) / 10000 AS cos
   FROM t CROSS JOIN b
+)
+SELECT vec_id, max(cos) AS max_bench_cosine, CAST(count(*) AS BIGINT) AS n_bench_hits
+FROM sc WHERE cos >= 0.35 GROUP BY vec_id
+"""
+    # LSH-prefiltered decontamination: replay the identical hyperplane
+    # bucketing (nbits=4, bands 0/1), Hamming-radius-1 multi-probe on the
+    # bench side, (band, bucket) candidate equi-join, exact-cosine verify.
+    _flips = ", ".join(
+        f"substr(bucket, 1, {i - 1}) || (CASE WHEN substr(bucket, {i}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr(bucket, {i + 1}, {4 - i})"
+        for i in range(1, 5)
+    )
+    out["semantic_decontam_lsh"] = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), b0 AS MATERIALIZED (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 20 = 0),
+   t0 AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+   tb AS (
+  SELECT vec_id, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM t0
+  UNION ALL
+  SELECT vec_id, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM t0
+), bb AS (
+  SELECT bid, 0 AS band, {_lsh_bucket_sql('bv', 4, band=0)} AS bucket FROM b0
+  UNION ALL
+  SELECT bid, 1 AS band, {_lsh_bucket_sql('bv', 4, band=1)} AS bucket FROM b0
+), probes AS (
+  SELECT DISTINCT bid, band, p AS bucket
+  FROM bb, unnest([bucket, {_flips}]) AS u(p)
+), cand AS (
+  SELECT DISTINCT tb.vec_id, probes.bid
+  FROM tb JOIN probes ON tb.band = probes.band AND tb.bucket = probes.bucket
+), sc AS (
+  SELECT cand.vec_id,
+         floor(list_dot_product(t0.v, b0.bv)
+               / (sqrt(list_dot_product(t0.v, t0.v)) * sqrt(list_dot_product(b0.bv, b0.bv)))
+               * 10000 + 0.5) / 10000 AS cos
+  FROM cand JOIN t0 ON cand.vec_id = t0.vec_id JOIN b0 ON cand.bid = b0.bid
 )
 SELECT vec_id, max(cos) AS max_bench_cosine, CAST(count(*) AS BIGINT) AS n_bench_hits
 FROM sc WHERE cos >= 0.35 GROUP BY vec_id

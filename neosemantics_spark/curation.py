@@ -189,7 +189,29 @@ class CurationCheckpoint:
 
     def __init__(self, spark, root: str):
         import os
+        import re
 
+        # The commit protocol (manifest read/publish, HEAD rename,
+        # compaction cleanup) runs through driver-local POSIX APIs while
+        # the data tables go through Spark writers. On a non-local root
+        # (hdfs://, s3a://, ...) the parquet writes would succeed but
+        # _read_manifest would see nothing — ALL historical state
+        # silently invisible and duplicates re-accepted. Refuse loudly
+        # instead: the state root must be a driver-visible local path
+        # (file:/ is accepted and normalized, since Spark and POSIX
+        # agree on it).
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", root)
+        if m:
+            scheme = m.group(1)
+            if scheme != "file":
+                raise ValueError(
+                    f"CurationCheckpoint state root {root!r} uses URI scheme "
+                    f"{scheme!r}, but the snapshot-commit protocol is "
+                    f"driver-local (POSIX manifest + atomic HEAD rename). "
+                    f"Use a local filesystem path, or mount the remote "
+                    f"store and pass its mount point."
+                )
+            root = re.sub(r"^file:(//)?", "", root) or "/"
         self.spark = spark
         self.root = root
         self.p_hashes = os.path.join(root, "text_hashes")

@@ -258,7 +258,12 @@ def token_budget_sample(
         if budget >= total:
             cond = base
         else:
-            cut = _hex_cutoff(int(budget / total * space), digits)
+            # clamp to >= 1: a tiny-but-positive budget (budget/total <
+            # 16^-digits) would floor to 0 and silently drop the whole
+            # stratum; one prefix slot (expected total/16^digits tokens)
+            # is the smallest representable nonzero sample at this
+            # resolution.
+            cut = _hex_cutoff(max(1, int(budget / total * space)), digits)
             cond = base & (prefix < F.lit(cut))
         expr = cond if expr is None else expr | cond
     return df.filter(expr if expr is not None else F.lit(False))

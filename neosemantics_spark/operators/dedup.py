@@ -233,6 +233,14 @@ def _pair_intersections(
     merges two shingles of ONE doc (P ≈ n²/2³³ ≈ 4e-6 at n=175,
     shifting a Jaccard by ~1/175): immaterial for threshold decisions;
     a pytest pins 32/64 output equality at test scale."""
+    if hash_bits != 64 and candidates is None:
+        # the posting-join path never hashes shingles — accepting the
+        # knob there would silently do nothing
+        raise ValueError(
+            "hash_bits != 64 only affects the candidates path "
+            "(set-intersect verification); the posting-join path joins "
+            "on raw shingles. Pass candidates, or leave hash_bits=64."
+        )
     sh = shingle_rows(docs, k, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is not None:
@@ -403,11 +411,31 @@ def chunk_dup_stats(
     )
 
 
+def _raw_segments(col: Column) -> Column:
+    """The raw text as an array of (word + its trailing whitespace)
+    segments, with the document's LEADING whitespace folded into the
+    first segment — so `concat(segments)` reproduces the input string
+    byte-for-byte and `size(segments)` equals `size(_words(input))`.
+    RE2-compatible on purpose (no lookarounds): the DuckDB oracle builds
+    the identical array with regexp_extract_all."""
+    segs = F.regexp_extract_all(col, F.lit(r"\S+\s*"), 0)
+    lead = F.regexp_extract(col, r"^\s*", 0)
+    # a wordless (empty or whitespace-only) document is one raw segment —
+    # its bytes still round-trip; its normalized form is '' either way
+    return F.when(F.size(segs) == 0, F.array(col)).otherwise(
+        F.concat(
+            F.array(F.concat(lead, F.element_at(segs, 1))),
+            F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0))),
+        )
+    )
+
+
 def dedup_chunks(
     docs: DataFrame,
     chunk_tokens: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_tokens: int = 500_000,
 ) -> DataFrame:
     """Sub-document dedup ACTION (the `chunk_dup_stats` profile turned
     into a transform, approximating exact-substring dedup à la Lee et
@@ -417,38 +445,84 @@ def dedup_chunks(
     repetition is untouched (both instances live in the same min doc) —
     that is `repetition_features`' axis.
 
-    Returns (doc_id, text_deduped, n_chunks_kept, n_chunks_dropped);
-    a document that was pure boilerplate comes back with empty text,
-    not dropped — the caller decides the fate of emptied docs.
+    Chunk MATCHING is on normalized content (lowercased,
+    whitespace-collapsed — case/layout variants of a boilerplate block
+    still dedup), but RE-ASSEMBLY is from raw text spans: the chunker
+    slices the original string at token boundaries (word + trailing
+    whitespace segments, leading whitespace folded into segment one), so
+    a document with zero dropped chunks comes back BYTE-IDENTICAL — no
+    silent lowercasing or newline collapse in training text. When a
+    chunk is dropped, only that span's bytes (including its trailing
+    whitespace) disappear.
 
-    Plan: chunker → sha2 chunk keys → per-chunk min-doc (one
-    map-side-combined groupBy — min absorbs hot boilerplate keys
-    exactly like the CC min-agg) → keep-filter → per-doc re-assembly
-    via array_sort(collect_list(struct(idx, text))) (each doc's chunks
-    co-locate on the doc key; the sort is in-row, not a window). The
-    re-assembly buffers ONE document's kept chunks in one aggregation
-    row — fine for web-document sizes (MBs), a row-size hazard for
-    pathological GB-scale documents, which should be length-capped
-    upstream (the standard corpus-ingest guard) before this operator."""
-    from .text import chunk_documents
+    Returns (doc_id, text_deduped, n_chunks_kept, n_chunks_dropped,
+    passthrough); a document that was pure boilerplate comes back with
+    empty text, not dropped — the caller decides the fate of emptied
+    docs.
 
-    ch = chunk_documents(
-        docs, chunk_tokens=chunk_tokens, overlap=0, text_col=text_col, id_col=id_col
-    ).select(id_col, "chunk_idx", "chunk_text", F.sha2(F.col("chunk_text"), 256).alias("ch"))
+    `max_doc_tokens` is the row-size guard: the re-assembly buffers ONE
+    document's kept chunks in one aggregation row — fine for
+    web-document sizes (MBs), a hazard for pathological GB-scale
+    documents. Docs above the cap bypass chunking entirely
+    (`passthrough=true`, text returned untouched, zero counts) instead
+    of risking executor OOM; they also don't claim chunk ownership, so
+    a hot boilerplate block's canonical copy is always a normal-sized
+    doc.
+
+    Plan: token-count gate (narrow) → raw-span chunker (narrow: segment
+    extract → sequence → explode → slice) → sha2 of the normalized
+    chunk → per-chunk min-doc (one map-side-combined groupBy — min
+    absorbs hot boilerplate keys exactly like the CC min-agg) →
+    keep-filter → per-doc re-assembly via
+    array_sort(collect_list(struct(idx, raw))) (each doc's chunks
+    co-locate on the doc key; the sort is in-row, not a window)."""
+    base = docs.select(
+        id_col,
+        F.col(text_col).alias("_txt"),
+        _raw_segments(F.col(text_col)).alias("_segs"),
+    )
+    sized = base.select(
+        id_col, "_txt", "_segs", (F.size("_segs") > max_doc_tokens).alias("_over")
+    )
+    over = sized.filter(F.col("_over")).select(
+        id_col,
+        F.col("_txt").alias("text_deduped"),
+        F.lit(0).cast("bigint").alias("n_chunks_kept"),
+        F.lit(0).cast("bigint").alias("n_chunks_dropped"),
+        F.lit(True).alias("passthrough"),
+    )
+    nc = F.greatest(
+        F.lit(1), F.ceil(F.size("_segs") / F.lit(chunk_tokens)).cast("int")
+    )
+    ex = sized.filter(~F.col("_over")).select(
+        id_col,
+        "_segs",
+        F.explode(F.sequence(F.lit(0), nc - F.lit(1))).alias("chunk_idx"),
+    )
+    raw = F.array_join(
+        F.slice(F.col("_segs"), F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
+        "",
+    )
+    ch = ex.select(
+        id_col,
+        "chunk_idx",
+        raw.alias("chunk_raw"),
+        F.sha2(F.array_join(_words(raw), " "), 256).alias("ch"),
+    )
     first = ch.groupBy("ch").agg(F.min(id_col).alias("_first_doc"))
     totals = ch.groupBy(id_col).agg(F.count("*").alias("_n_total"))
     kept = ch.join(first, "ch").filter(F.col(id_col) == F.col("_first_doc"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda x: x["chunk_text"],
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_raw"))),
+                lambda x: x["chunk_raw"],
             ),
-            " ",
+            "",
         ).alias("text_deduped"),
         F.count("*").alias("n_chunks_kept"),
     )
-    return (
+    chunked = (
         totals.join(rebuilt, id_col, "left")
         .select(
             id_col,
@@ -457,8 +531,10 @@ def dedup_chunks(
             (F.col("_n_total") - F.coalesce("n_chunks_kept", F.lit(0)))
             .cast("bigint")
             .alias("n_chunks_dropped"),
+            F.lit(False).alias("passthrough"),
         )
     )
+    return chunked.unionByName(over)
 
 
 # --------------------------------------------------------------- simhash

@@ -580,7 +580,11 @@ def semantic_decontaminate(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_limit: int = 100_000,
+    broadcast_limit: int = 20_000,
+    prefilter: str | None = None,
+    nbits: int = 4,
+    bands: int = 2,
+    probe_bits: int = 1,
 ) -> DataFrame:
     """(vec_id, max_bench_cosine, n_bench_hits) for every training
     vector whose embedding is within cosine `threshold` of ANY
@@ -588,26 +592,69 @@ def semantic_decontaminate(
     `datasets.decontaminate` (paraphrased or re-formatted eval items
     share no 8-gram but sit next to the eval set in embedding space).
 
-    Plan shape for 100 TB: eval sets are fixed-size, so the bench
-    vectors broadcast (size-gated like every broadcast in this engine —
-    the hint is withheld above `broadcast_limit` rows and Catalyst/AQE
-    falls back to a shuffled join); the corpus side is scanned exactly
-    once, the cosine is in-row, and nothing wider than (id, cosine)
-    shuffles. Honest cost note: this is brute force — O(n_train ×
-    n_bench) dot products. At 10k bench vectors that is the right
-    trade (no index build, exact answer); if the "bench" side grows to
-    corpus scale this is the wrong operator — bucket both sides with
-    `lsh_bucket_table` and verify candidates, as `embedding_near_dups`
-    does."""
+    Two plans, selected by `prefilter`:
+
+    - ``None`` (exact): broadcast the bench vectors against the corpus —
+      O(n_train × n_bench) dot products, in-row, nothing wider than
+      (id, cosine) shuffles. The right trade only while the bench side
+      is eval-suite sized: `broadcast_limit` (default 20k) is the guard
+      rail — above it this mode raises instead of silently degrading to
+      a shuffled non-equi cross join, because 100k bench rows × a 100 TB
+      corpus is never the plan you meant. Use the prefiltered mode.
+    - ``'lsh'`` (scale path): hyperplane-LSH bucket BOTH sides with
+      `lsh_bucket_table` (the `embedding_near_dups` shape), multi-probe
+      the bench side (`probe_bits` Hamming-ball expansion — fan-out
+      multiplies only the small side), equi-join on (band, bucket),
+      dedupe (train, bench) candidates across bands, then exact-cosine
+      verify. Candidate generation is an equi-join — never all-pairs —
+      so both sides may be corpus-scale. Recall is that of the LSH
+      family (measured ≥0.95 vs brute force at threshold 0.95 on
+      near-dup-style contamination; see BASELINE.md): at near-dup
+      cosines collisions are near-certain in some band, which is
+      exactly the decontamination regime — a paraphrase sitting at
+      cosine 0.95+ of an eval item. `n_bench_hits` counts hits among
+      candidates, so it can undercount (never overcount) vs exact."""
     t = _double_vecs(train, id_col, vec_col)
     b = _double_vecs(bench, id_col, vec_col).select(
         F.col("id").alias("_bid"), F.col("v").alias("_bv")
     )
-    small = b.limit(broadcast_limit + 1).count() <= broadcast_limit
-    bj = F.broadcast(b) if small else b
-    scored = t.crossJoin(bj).select(
-        "id", round4(cosine(F.col("v"), F.col("_bv"))).alias("cos")
-    )
+    if prefilter is None:
+        small = b.limit(broadcast_limit + 1).count() <= broadcast_limit
+        if not small:
+            raise ValueError(
+                f"semantic_decontaminate: bench side exceeds broadcast_limit="
+                f"{broadcast_limit} rows; the exact mode would degenerate to a "
+                f"shuffled cross join. Use prefilter='lsh' (bucketed candidates + "
+                f"exact verify) or raise broadcast_limit deliberately."
+            )
+        scored = t.crossJoin(F.broadcast(b)).select(
+            "id", round4(cosine(F.col("v"), F.col("_bv"))).alias("cos")
+        )
+    elif prefilter == "lsh":
+        tb = lsh_bucket_table(train, nbits, bands, id_col, vec_col)
+        bb = lsh_bucket_table(bench, nbits, bands, id_col, vec_col).select(
+            F.col("id").alias("_bid"), "band", "bucket"
+        )
+        if probe_bits > 0:
+            bb = bb.select(
+                "_bid",
+                "band",
+                F.explode(_probe_buckets(F.col("bucket"), nbits, probe_bits)).alias(
+                    "bucket"
+                ),
+            ).distinct()
+        cand = (
+            tb.join(bb, ["band", "bucket"])
+            .select("id", "_bid")
+            .distinct()
+        )
+        scored = (
+            cand.join(t, "id")
+            .join(b, "_bid")
+            .select("id", round4(cosine(F.col("v"), F.col("_bv"))).alias("cos"))
+        )
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}: use None or 'lsh'")
     return (
         scored.filter(F.col("cos") >= threshold)
         .groupBy(F.col("id").alias(id_col))

@@ -321,3 +321,19 @@ def test_checkpoint_metrics_history_survives_compaction(spark, tmp_path):
 
     cp.run(spark.createDataFrame([(2, "third audit ledger document about manifest")], ["doc_id", "text"]), lm_quantile=0.0)
     assert len(cp.history()) == 3
+
+
+def test_checkpoint_rejects_remote_root(spark, tmp_path):
+    """The snapshot-commit protocol is driver-local POSIX; a remote
+    state root would make historical state silently invisible (manifest
+    read returns empty -> duplicates re-accepted). Refuse at __init__."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    for bad in ("hdfs://nn:8020/state", "s3a://bucket/state", "abfss://c@a/state"):
+        with pytest.raises(ValueError, match="URI scheme"):
+            CurationCheckpoint(spark, bad)
+    # file: is driver-local; accepted and normalized to the plain path
+    cp = CurationCheckpoint(spark, f"file://{tmp_path}/state")
+    assert cp.root == f"{tmp_path}/state"
+    # windows-drive-free plain relative/absolute paths untouched
+    assert CurationCheckpoint(spark, str(tmp_path / "s2")).root == str(tmp_path / "s2")

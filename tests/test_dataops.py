@@ -541,6 +541,10 @@ def test_jaccard_hash_bits_32_matches_64(spark, docs):
     ra = sorted((r["a"], r["b"], r["jaccard"]) for r in a.collect())
     rb = sorted((r["a"], r["b"], r["jaccard"]) for r in b.collect())
     assert ra == rb and ra  # identical results at test scale (collisions ~2^-33/pair)
+    # without candidates the posting-join path never hashes: the knob
+    # would be a silent no-op, so it raises instead
+    with pytest.raises(ValueError, match="hash_bits"):
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5, hash_bits=32)
 
 
 def test_chunk_dup_stats(spark):
@@ -580,6 +584,52 @@ def test_dedup_chunks_action(spark):
     assert rows[1]["text_deduped"] == "totally different ending for doc one"
     # doc 2 comes back emptied with the drop accounted
     assert rows[2]["text_deduped"] == "" and rows[2]["n_chunks_dropped"] == 1
+    assert not any(r["passthrough"] for r in rows.values())
+
+
+def test_dedup_chunks_preserves_raw_bytes(spark):
+    """Dedup output is TRAINING TEXT: a doc with zero dropped chunks
+    must come back byte-identical (no lowercasing, no whitespace
+    collapse), while matching stays case/layout-insensitive."""
+    pristine = "The QUICK\n\nBrown Fox —\t jumps!  Twice. "
+    boiler = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, boiler),
+            # same boilerplate in different case/layout + a unique tail:
+            # the chunk still matches doc 0's (normalized hash), but the
+            # surviving tail keeps ITS raw bytes
+            (1, "ONE  two THREE four\nfive six seven EIGHT Unique TAIL here x y z w q"),
+            (2, pristine),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_chunks(docs, chunk_tokens=8).collect()}
+    assert rows[2]["text_deduped"] == pristine  # byte-identical round-trip
+    assert rows[2]["n_chunks_dropped"] == 0
+    # doc 1's first chunk matched doc 0's despite case/whitespace deltas
+    assert rows[1]["n_chunks_dropped"] == 1
+    assert rows[1]["text_deduped"] == "Unique TAIL here x y z w q"
+
+
+def test_dedup_chunks_oversized_passthrough(spark):
+    """max_doc_tokens routes pathological docs around the single-row
+    re-assembly: returned untouched, flagged, and not claiming chunk
+    ownership (the boilerplate's canonical copy stays a normal doc)."""
+    boiler = "one two three four five six seven eight"
+    giant = " ".join(f"w{i}" for i in range(50)) + " " + boiler
+    docs = spark.createDataFrame(
+        [(0, giant), (1, boiler + " plus a small unique tail")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.dedup_chunks(docs, chunk_tokens=8, max_doc_tokens=20).collect()
+    }
+    assert rows[0]["passthrough"] and rows[0]["text_deduped"] == giant
+    assert rows[0]["n_chunks_kept"] == 0 and rows[0]["n_chunks_dropped"] == 0
+    # doc 1 keeps its boilerplate chunk: the oversized doc didn't own it
+    assert not rows[1]["passthrough"] and rows[1]["n_chunks_dropped"] == 0
 
 
 def test_semantic_decontaminate(spark):
@@ -596,5 +646,36 @@ def test_semantic_decontaminate(spark):
     # plan: bench side broadcast below the gate
     plan = similarity.semantic_decontaminate(train, bench)._jdf.queryExecution().analyzed().toString()
     assert "Hint" in plan
-    big_gate = similarity.semantic_decontaminate(train, bench, broadcast_limit=0)
-    assert "Hint" not in big_gate._jdf.queryExecution().analyzed().toString()
+    # above the gate the exact mode REFUSES (it would be a shuffled cross
+    # join) instead of silently degrading
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        similarity.semantic_decontaminate(train, bench, broadcast_limit=0).collect()
+
+
+def test_semantic_decontaminate_lsh_prefilter(spark):
+    """prefilter='lsh' gives the same answer as the exact mode on
+    near-dup-style contamination (identical + sign-preserving perturbed
+    vectors share every LSH bucket), and its plan contains no cross
+    join — candidates come from the (band, bucket) equi-join."""
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    exact = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(train, bench, threshold=0.9).collect()
+    }
+    lsh = similarity.semantic_decontaminate(
+        train, bench, threshold=0.9, prefilter="lsh", nbits=4, bands=2, probe_bits=1
+    )
+    got = {r["vec_id"]: r for r in lsh.collect()}
+    assert set(got) == set(exact) == {1, 2}
+    for vid in exact:
+        assert got[vid]["max_bench_cosine"] == exact[vid]["max_bench_cosine"]
+        assert got[vid]["n_bench_hits"] == exact[vid]["n_bench_hits"]
+    opt = lsh._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cross" not in opt
+    # unknown mode rejected
+    with pytest.raises(ValueError, match="prefilter"):
+        similarity.semantic_decontaminate(train, bench, prefilter="ivf")

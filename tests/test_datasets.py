@@ -182,6 +182,20 @@ def test_token_budget_sample(spark):
     assert ds.token_budget_sample(docs, {"en": 0}).count() == 0
 
 
+def test_token_budget_unrepresentable_budget_not_dropped(spark):
+    """budget/total below 16^-digits used to floor the cutoff to 0 and
+    silently drop the whole stratum despite a positive budget; the
+    cutoff now clamps to one prefix slot. doc_id 16843 has
+    md5('en:16843') prefix '0000' (precomputed), so the one-slot cutoff
+    '0001' keeps exactly that doc here."""
+    wide = "word " * 700  # 700 tokens/doc
+    rows = [(16843, "en", wide)] + [(i, "en", wide) for i in range(99)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    # total = 70_000 tokens; budget 1 -> 1/70000*65536 < 1 -> clamped slot
+    out = {r["doc_id"] for r in ds.token_budget_sample(docs, {"en": 1}).collect()}
+    assert out == {16843}
+
+
 def test_ngram_containment(spark):
     from neosemantics_spark.operators import dedup
 
