@@ -105,6 +105,57 @@ def q_kg_edges(spark: SparkSession, sf: str) -> DataFrame:
     return tables.edges.select("src", "rel", "dst")
 
 
+def q_kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MERGE-equivalent import (the reference's steady-state
+    loop — DirectStatementLoader.java:60-129 find-or-create + merge;
+    incremental fixtures step{1,2,3}.ttl): three doc batches plus an
+    update batch that re-asserts voc:lang upper-cased for doc_id % 4 == 0
+    are folded into an IncrementalGraphStore one at a time
+    (order='arrival' — temporal last-write-wins). The final nodes table
+    must match the oracle's from-scratch SQL derivation of the union, so
+    the merge path — not a re-aggregation — is what's being value-checked."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.operators.incremental import IncrementalGraphStore
+
+    src = src_files_from_documents(spark, sf, "N-Triples")
+    did = F.regexp_extract("path", r"doc_(\d+)\.nt", 1).cast("long")
+    docs = _docs(spark, sf)
+    subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
+    upd = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("org/docs").alias("repo"),
+        F.concat(F.lit("data/upd_"), F.col("doc_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("1" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        F.concat(
+            subj, F.lit(f' <{VOC}lang> "'), F.upper("lang"), F.lit('" .\n')
+        ).alias("content"),
+    )
+    cfg = _kg_cfg()
+    root = tempfile.mkdtemp(prefix="kg_inc_")
+    try:
+        store = IncrementalGraphStore(spark, root, cfg, order="arrival")
+        for b in range(3):
+            batch = src.filter(did % 3 == b)
+            store.merge_batch(transform_triples(extract_triples(batch), cfg), f"b{b}")
+        store.merge_batch(transform_triples(extract_triples(upd), cfg), "upd")
+        t = store.tables()
+        lang_val = t.node_props.filter(F.col("prop") == f"{VOC}lang").select(
+            "uri", F.col("values")[0].alias("lang_val")
+        )
+        out = t.nodes.select(
+            "uri",
+            F.array_join("labels", ",").alias("labels_str"),
+            F.size("props").alias("n_props"),
+        ).join(lang_val, "uri", "left")
+        # materialize before the state dir disappears (plans reading a
+        # deleted parquet path fail lazily)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     src = src_files_from_documents(spark, sf, "N-Triples")
     raw = extract_triples(src)
@@ -991,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_turtle": q_kg_triples_turtle,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
+        "kg_incremental": q_kg_incremental,
         "kg_shorten": q_kg_shorten,
         "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
@@ -1402,6 +1454,13 @@ UNION ALL SELECT '{DOC}' || doc_id, '{VOC}nchars', CAST(n_chars AS VARCHAR), tru
 SELECT '{DOC}' || doc_id AS uri, '{VOC}Document' AS labels_str, 3 AS n_props FROM documents
 UNION ALL
 SELECT DISTINCT '{DOC}src/' || source, '', 0 FROM documents
+"""
+    out["kg_incremental"] = f"""
+SELECT '{DOC}' || doc_id AS uri, '{VOC}Document' AS labels_str, 3 AS n_props,
+       CASE WHEN doc_id % 4 = 0 THEN upper(lang) ELSE lang END AS lang_val
+FROM documents
+UNION ALL
+SELECT DISTINCT '{DOC}src/' || source, '', 0, CAST(NULL AS VARCHAR) FROM documents
 """
     out["kg_edges"] = f"""
 SELECT '{DOC}' || doc_id AS src, '{VOC}source' AS rel, '{DOC}src/' || source AS dst FROM documents

@@ -33,6 +33,17 @@ def main() -> None:
     ap.add_argument("--no-entity-linking", action="store_true")
     ap.add_argument("--run-id", default=None)
     ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="MERGE-equivalent steady-state mode: fold ONLY this run's "
+        "delta into the persistent IncrementalGraphStore under "
+        "<checkpoint>/graph_state (per-batch cost O(|graph| + |delta|), "
+        "not O(corpus history)) and derive the output tables from the "
+        "merged state. Requires --no-entity-linking: owl:sameAs fusion "
+        "is corpus-global and invalidates per-node state (run "
+        "kg_sameas_cc over the derived tables instead).",
+    )
+    ap.add_argument(
         "--shapes",
         default=None,
         help="SHACL shapes Turtle file: imported into the checkpoint's "
@@ -68,23 +79,67 @@ def main() -> None:
     if res.triples is None:
         print(json.dumps({"run_id": res.run_id, "new_files": 0, "status": "up-to-date"}))
         return
-    # the graph ACCUMULATES across runs: only the delta was parsed (the
-    # expensive Arrow-batched Python stage), but transforms + materialize
-    # run over every checkpointed run's triples so the output tables are
-    # the full graph, not this batch's slice — the reference's imports
-    # add into one persistent store the same way
     from pyspark.sql import functions as F
 
-    triples = (
-        cp.all_triples().filter(F.col("parse_error").isNull()).drop("run_id").cache()
-    )
     ns = {}
-    if cfg.handle_vocab_uris in ("SHORTEN", "SHORTEN_STRICT"):
-        ns = build_prefix_map(collect_namespaces(triples))
-    t = transform_triples(triples, cfg, ns)
-    if not args.no_entity_linking:
-        t = canonicalize_triples(t, canonical_map(t))
-    tables = materialize(t, cfg, cache_intermediate=True)
+    if args.incremental:
+        # MERGE-equivalent steady state: transforms + merge run over THIS
+        # run's delta only; the persistent partial-aggregate state makes
+        # the derived tables equal to a from-scratch import of every
+        # batch (operators/incremental.py) — the loop a 100 TB ingest
+        # actually runs, O(|graph| + |delta|) per batch
+        import os
+
+        from neosemantics_spark.config import STANDARD_PREFIXES
+        from neosemantics_spark.operators.incremental import (
+            IncrementalGraphStore,
+            extend_prefix_map,
+        )
+
+        if not args.no_entity_linking:
+            sys.exit(
+                "--incremental requires --no-entity-linking: owl:sameAs "
+                "fusion is corpus-global and invalidates per-node state; "
+                "run the sameAs CC over the derived tables instead."
+            )
+        delta = res.triples.filter(F.col("parse_error").isNull()).cache()
+        ns_path = os.path.join(args.checkpoint, "ns_prefixes.json")
+        if cfg.handle_vocab_uris in ("SHORTEN", "SHORTEN_STRICT"):
+            # prefixes persist across batches and are never re-assigned
+            # (the reference's _NsPrefDef contract)
+            if os.path.exists(ns_path):
+                with open(ns_path) as fh:
+                    ns = json.load(fh)
+            else:
+                ns = {v: k for k, v in STANDARD_PREFIXES.items()}
+            ns = extend_prefix_map(ns, collect_namespaces(delta))
+            tmp = ns_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(ns, fh, sort_keys=True)
+            os.replace(tmp, ns_path)
+        store = IncrementalGraphStore(
+            spark,
+            os.path.join(args.checkpoint, "graph_state"),
+            cfg,
+            order="arrival",
+        )
+        store.merge_batch(transform_triples(delta, cfg, ns), batch_id=res.run_id)
+        tables = store.tables()
+    else:
+        # full-recompute mode: the graph ACCUMULATES across runs — only
+        # the delta was parsed (the expensive Arrow-batched Python
+        # stage), but transforms + materialize run over every
+        # checkpointed run's triples so the output tables are the full
+        # graph, not this batch's slice
+        triples = (
+            cp.all_triples().filter(F.col("parse_error").isNull()).drop("run_id").cache()
+        )
+        if cfg.handle_vocab_uris in ("SHORTEN", "SHORTEN_STRICT"):
+            ns = build_prefix_map(collect_namespaces(triples))
+        t = transform_triples(triples, cfg, ns)
+        if not args.no_entity_linking:
+            t = canonicalize_triples(t, canonical_map(t))
+        tables = materialize(t, cfg, cache_intermediate=True)
     tables.nodes.write.mode("overwrite").parquet(f"{args.output}/nodes")
     write_edges_partitioned(tables.edges, f"{args.output}/edges", cfg)
     write_node_props_partitioned(tables.node_props, f"{args.output}/node_props", cfg)
@@ -131,6 +186,7 @@ def main() -> None:
                 "nodes": tables.nodes.count(),
                 "edges": tables.edges.count(),
                 "namespaces": len(ns),
+                "incremental": args.incremental,
                 "delta_violations": n_violations,
                 "status": "ok",
             }
