@@ -45,6 +45,28 @@ def main() -> None:
     ap.add_argument("--decontam-ngram", type=int, default=8)
     ap.add_argument("--lm-quantile", type=float, default=0.05)
     ap.add_argument(
+        "--chunk-dedup",
+        action="store_true",
+        help="rewrite near-dedup survivors without corpus-duplicated "
+        "chunk spans (cross-batch chunk ownership when --checkpoint is "
+        "set); docs emptied to pure boilerplate are dropped",
+    )
+    ap.add_argument("--chunk-tokens", type=int, default=32)
+    ap.add_argument(
+        "--semantic-bench",
+        default=None,
+        help="benchmark EMBEDDINGS parquet (vec_id|doc_id, embedding): "
+        "drop docs within cosine --semantic-threshold of any benchmark "
+        "vector (LSH-prefiltered). Requires --embeddings.",
+    )
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="corpus embeddings parquet (vec_id|doc_id, embedding) "
+        "keyed by the documents' ids",
+    )
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the batch commits, merge all state batch directories "
@@ -59,12 +81,27 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
+
+    def _emb(path):
+        # normalize the embedding tables to the documents' id key
+        df = spark.read.parquet(path)
+        if "doc_id" not in df.columns and "vec_id" in df.columns:
+            df = df.withColumnRenamed("vec_id", "doc_id")
+        return df.select("doc_id", "embedding")
+
+    semantic_bench = _emb(args.semantic_bench) if args.semantic_bench else None
+    embeddings = _emb(args.embeddings) if args.embeddings else None
     opts = dict(
         num_hashes=args.num_hashes,
         bands=args.bands,
         jaccard_threshold=args.jaccard_threshold,
         decontam_n=args.decontam_ngram,
         lm_quantile=args.lm_quantile,
+        chunk_dedup=args.chunk_dedup,
+        chunk_tokens=args.chunk_tokens,
+        semantic_bench=semantic_bench,
+        embeddings=embeddings,
+        semantic_threshold=args.semantic_threshold,
     )
     if args.checkpoint:
         cp = CurationCheckpoint(spark, args.checkpoint)

@@ -23,12 +23,82 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators import datasets, dedup, lm
+from .operators import datasets, dedup, lm, similarity
 
 
 class CurationResult(NamedTuple):
     curated: DataFrame  # input columns + cluster_id, avg_logp, split
     metrics: dict
+
+
+def _apply_chunk_dedup(
+    docs: DataFrame,
+    metrics: dict,
+    *,
+    chunk_tokens: int,
+    id_col: str,
+    text_col: str,
+    claimed: DataFrame | None = None,
+) -> DataFrame:
+    """Chunk-level dedup stage shared by the one-shot and incremental
+    pipelines: rewrite each survivor without corpus-duplicated chunk
+    spans (cross-batch when `claimed` is the persisted chunk-hash
+    state), drop documents emptied to pure boilerplate, account both."""
+    cd = dedup.dedup_chunks(
+        docs,
+        chunk_tokens=chunk_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        claimed=claimed,
+    )
+    out = docs.drop(text_col).join(
+        cd.select(
+            id_col, F.col("text_deduped").alias(text_col), "n_chunks_dropped"
+        ),
+        id_col,
+    )
+    agg = out.agg(
+        F.sum("n_chunks_dropped").alias("d"),
+        F.sum(F.when(F.length(text_col) == 0, 1).otherwise(0)).alias("e"),
+    ).first()
+    metrics["chunks_dropped"] = int(agg["d"] or 0)
+    metrics["n_emptied_dropped"] = int(agg["e"] or 0)
+    out = out.filter(F.length(F.col(text_col)) > 0).drop("n_chunks_dropped").cache()
+    metrics["n_after_chunk_dedup"] = out.count()
+    return out
+
+
+def _apply_semantic_decontam(
+    docs: DataFrame,
+    metrics: dict,
+    *,
+    semantic_bench: DataFrame,
+    embeddings: DataFrame | None,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Embedding-space decontamination stage (LSH-prefiltered — no cross
+    join at any scale): drop survivors whose embedding sits within
+    cosine `threshold` of any benchmark vector. `embeddings` maps the
+    corpus id to an `embedding` vector; `semantic_bench` carries the
+    same (id_col, embedding) schema for the eval set."""
+    if embeddings is None:
+        raise ValueError(
+            "semantic decontamination requires an embeddings DataFrame "
+            f"({id_col}, embedding) covering the corpus"
+        )
+    vecs = embeddings.join(docs.select(id_col), id_col, "left_semi")
+    flagged = similarity.semantic_decontaminate(
+        vecs,
+        semantic_bench,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col="embedding",
+        prefilter="lsh",
+    )
+    out = docs.join(flagged.select(id_col), id_col, "left_anti").cache()
+    metrics["n_after_semantic_decontam"] = out.count()
+    return out
 
 
 def curate_corpus(
@@ -43,14 +113,26 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_dedup: bool = False,
+    chunk_tokens: int = 32,
+    semantic_bench: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
 ) -> CurationResult:
     """Run the full curation pipeline over `docs`.
 
     - near-dups: MinHash-LSH candidates, exact-Jaccard verification at
       `jaccard_threshold`, transitive clustering; the cluster's min-id
       doc survives.
+    - chunk dedup (when `chunk_dedup`): survivors are rewritten without
+      corpus-duplicated `chunk_tokens`-token spans (dedup.dedup_chunks);
+      documents emptied to pure boilerplate are dropped.
     - decontamination (when `bench` given): any doc sharing a
       `decontam_n`-gram with the benchmark set is dropped.
+    - semantic decontamination (when `semantic_bench` given, requires
+      `embeddings` (id_col, embedding)): docs within cosine
+      `semantic_threshold` of any benchmark embedding are dropped
+      (LSH-prefiltered — the scale path).
     - LM filter: a bigram LM is trained on the surviving corpus itself
       and the bottom `lm_quantile` of docs by mean log-prob is dropped
       (self-trained perplexity filtering; gibberish scores far below the
@@ -84,6 +166,11 @@ def curate_corpus(
     )
     metrics["n_after_near_dedup"] = reps.count()
 
+    if chunk_dedup:
+        reps = _apply_chunk_dedup(
+            reps, metrics, chunk_tokens=chunk_tokens, id_col=id_col, text_col=text_col
+        )
+
     clean = reps
     if bench is not None:
         contaminated = datasets.decontaminate(
@@ -93,6 +180,16 @@ def curate_corpus(
             contaminated.select(id_col), id_col, "left_anti"
         ).cache()
         metrics["n_after_decontam"] = clean.count()
+
+    if semantic_bench is not None:
+        clean = _apply_semantic_decontam(
+            clean,
+            metrics,
+            semantic_bench=semantic_bench,
+            embeddings=embeddings,
+            threshold=semantic_threshold,
+            id_col=id_col,
+        )
 
     model = lm.train_bigram_lm(clean, id_col, text_col)
     scored = clean.join(
@@ -217,6 +314,7 @@ class CurationCheckpoint:
         self.p_hashes = os.path.join(root, "text_hashes")
         self.p_reps = os.path.join(root, "reps")
         self.p_buckets = os.path.join(root, "buckets")
+        self.p_chunks = os.path.join(root, "chunk_hashes")
         self.p_lm_big = os.path.join(root, "lm_bigrams")
         self.p_lm_uni = os.path.join(root, "lm_unigrams")
         self.p_meta = os.path.join(root, "meta.json")
@@ -379,7 +477,7 @@ class CurationCheckpoint:
         if len(active) <= 1:
             return len(active)
         cid = f"compact-{self._next_seq()}"
-        for path in (self.p_hashes, self.p_reps, self.p_buckets):
+        for path in (self.p_hashes, self.p_reps, self.p_buckets, self.p_chunks):
             merged = self._table(path)
             if merged is None:
                 continue
@@ -389,7 +487,7 @@ class CurationCheckpoint:
                 self._batch_dir(path, cid)
             )
         self._publish([cid], self._read_manifest().get("history", []))
-        for path in (self.p_hashes, self.p_reps, self.p_buckets):
+        for path in (self.p_hashes, self.p_reps, self.p_buckets, self.p_chunks):
             for bid in active:
                 stale = self._batch_dir(path, bid)
                 if os.path.isdir(stale):
@@ -443,10 +541,24 @@ class CurationCheckpoint:
         splits: dict[str, float] | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        chunk_dedup: bool = False,
+        chunk_tokens: int = 32,
+        semantic_bench: DataFrame | None = None,
+        embeddings: DataFrame | None = None,
+        semantic_threshold: float = 0.95,
     ) -> CurationResult:
         """Curate one batch against all previously accepted state.
         doc ids must be globally unique across batches (they key the
-        persisted rep/bucket tables)."""
+        persisted rep/bucket tables).
+
+        With `chunk_dedup`, chunk ownership is CROSS-BATCH: the state's
+        chunk_hashes table claims every normalized chunk seen in any
+        earlier batch's near-dedup survivors, so a later batch's copy of
+        a historical boilerplate block is dropped even when the carrier
+        documents are not near-dups. Ownership is seen-based like
+        text_hashes (a chunk stays claimed even if its carrier doc is
+        later filtered out — the alternative, claiming only accepted
+        chunks, would re-chunk rewritten text at shifted boundaries)."""
         meta = self._check_meta(
             {
                 "num_hashes": num_hashes,
@@ -454,6 +566,8 @@ class CurationCheckpoint:
                 "jaccard_threshold": jaccard_threshold,
                 "decontam_n": decontam_n,
                 "k_shingle": 3,
+                "chunk_dedup": chunk_dedup,
+                "chunk_tokens": chunk_tokens,
             }
         )
         # normalize the id column: the dedup/LSH operators and the
@@ -602,6 +716,27 @@ class CurationCheckpoint:
         )
         metrics["n_after_near_dedup"] = reps.count()
 
+        # 2b. chunk-level dedup — cross-batch: chunks claimed by earlier
+        # batches (persisted chunk_hashes state) are dropped for every
+        # doc; in-batch first-doc-wins applies to unclaimed chunks only
+        new_chunks = None
+        if chunk_dedup:
+            claimed = self._table(self.p_chunks)
+            pre_chunk = reps
+            reps = _apply_chunk_dedup(
+                reps,
+                metrics,
+                chunk_tokens=chunk_tokens,
+                id_col=id_col,
+                text_col=text_col,
+                claimed=claimed,
+            )
+            new_chunks = dedup.chunk_hash_table(
+                pre_chunk, chunk_tokens=chunk_tokens, id_col=id_col, text_col=text_col
+            )
+            if claimed is not None:
+                new_chunks = new_chunks.join(claimed, "ch", "left_anti")
+
         # 3. decontamination (stateless vs the benchmark set)
         clean = reps
         if bench is not None:
@@ -613,6 +748,17 @@ class CurationCheckpoint:
                 "left_anti",
             ).cache()
             metrics["n_after_decontam"] = clean.count()
+
+        # 3b. semantic decontamination (stateless, LSH-prefiltered)
+        if semantic_bench is not None:
+            clean = _apply_semantic_decontam(
+                clean,
+                metrics,
+                semantic_bench=semantic_bench,
+                embeddings=embeddings,
+                threshold=semantic_threshold,
+                id_col=id_col,
+            )
 
         # 4. LM filter against the persisted reference model (trained on
         # the first batch's survivors; later batches score against the
@@ -692,6 +838,12 @@ class CurationCheckpoint:
         new_b.join(accepted.select(id_col), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(self._batch_dir(self.p_buckets, batch_id))
+        if new_chunks is not None:
+            # sever lineage like batch_hashes: the plan anti-joins the
+            # committed chunk state under the same root being written
+            new_chunks.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                self._batch_dir(self.p_chunks, batch_id)
+            )
         self._commit(batch_id, metrics)
         if out_id != "doc_id":
             curated = curated.withColumnRenamed("doc_id", out_id)

@@ -430,12 +430,63 @@ def _raw_segments(col: Column) -> Column:
     )
 
 
+def _chunk_rows(docs, chunk_tokens, id_col, text_col, max_doc_tokens):
+    """Shared chunker: (sized docs with `_over` flag, per-chunk rows
+    (id, chunk_idx, chunk_raw, ch)) — `ch` is the sha2 of the
+    NORMALIZED chunk, `chunk_raw` the exact byte span. One definition so
+    `dedup_chunks` and the persistable `chunk_hash_table` can never
+    disagree on boundaries or hashing."""
+    base = docs.select(
+        id_col,
+        F.col(text_col).alias("_txt"),
+        _raw_segments(F.col(text_col)).alias("_segs"),
+    )
+    sized = base.select(
+        id_col, "_txt", "_segs", (F.size("_segs") > max_doc_tokens).alias("_over")
+    )
+    nc = F.greatest(
+        F.lit(1), F.ceil(F.size("_segs") / F.lit(chunk_tokens)).cast("int")
+    )
+    ex = sized.filter(~F.col("_over")).select(
+        id_col,
+        "_segs",
+        F.explode(F.sequence(F.lit(0), nc - F.lit(1))).alias("chunk_idx"),
+    )
+    raw = F.array_join(
+        F.slice(F.col("_segs"), F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
+        "",
+    )
+    ch = ex.select(
+        id_col,
+        "chunk_idx",
+        raw.alias("chunk_raw"),
+        F.sha2(F.array_join(_words(raw), " "), 256).alias("ch"),
+    )
+    return sized, ch
+
+
+def chunk_hash_table(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_tokens: int = 500_000,
+) -> DataFrame:
+    """Distinct normalized-chunk hashes (column `ch`) of the corpus's
+    non-oversized documents — the persistable ownership set for
+    cross-batch `dedup_chunks(claimed=...)` (the chunk-level analogue of
+    the curation checkpoint's text_hashes table)."""
+    _, ch = _chunk_rows(docs, chunk_tokens, id_col, text_col, max_doc_tokens)
+    return ch.select("ch").distinct()
+
+
 def dedup_chunks(
     docs: DataFrame,
     chunk_tokens: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_tokens: int = 500_000,
+    claimed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Sub-document dedup ACTION (the `chunk_dup_stats` profile turned
     into a transform, approximating exact-substring dedup à la Lee et
@@ -469,6 +520,13 @@ def dedup_chunks(
     a hot boilerplate block's canonical copy is always a normal-sized
     doc.
 
+    `claimed` (optional, column `ch` of sha2 normalized-chunk hashes —
+    `chunk_hash_table` output) is the cross-batch state hook: chunks
+    whose hash is already claimed by an earlier batch are dropped for
+    EVERY document in this corpus (no in-batch owner), and in-batch
+    first-doc-wins applies only to unclaimed chunks. The join is a plain
+    equi-anti-join on the hash — both sides may be corpus-scale.
+
     Plan: token-count gate (narrow) → raw-span chunker (narrow: segment
     extract → sequence → explode → slice) → sha2 of the normalized
     chunk → per-chunk min-doc (one map-side-combined groupBy — min
@@ -476,14 +534,7 @@ def dedup_chunks(
     keep-filter → per-doc re-assembly via
     array_sort(collect_list(struct(idx, raw))) (each doc's chunks
     co-locate on the doc key; the sort is in-row, not a window)."""
-    base = docs.select(
-        id_col,
-        F.col(text_col).alias("_txt"),
-        _raw_segments(F.col(text_col)).alias("_segs"),
-    )
-    sized = base.select(
-        id_col, "_txt", "_segs", (F.size("_segs") > max_doc_tokens).alias("_over")
-    )
+    sized, ch = _chunk_rows(docs, chunk_tokens, id_col, text_col, max_doc_tokens)
     over = sized.filter(F.col("_over")).select(
         id_col,
         F.col("_txt").alias("text_deduped"),
@@ -491,27 +542,12 @@ def dedup_chunks(
         F.lit(0).cast("bigint").alias("n_chunks_dropped"),
         F.lit(True).alias("passthrough"),
     )
-    nc = F.greatest(
-        F.lit(1), F.ceil(F.size("_segs") / F.lit(chunk_tokens)).cast("int")
-    )
-    ex = sized.filter(~F.col("_over")).select(
-        id_col,
-        "_segs",
-        F.explode(F.sequence(F.lit(0), nc - F.lit(1))).alias("chunk_idx"),
-    )
-    raw = F.array_join(
-        F.slice(F.col("_segs"), F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
-        "",
-    )
-    ch = ex.select(
-        id_col,
-        "chunk_idx",
-        raw.alias("chunk_raw"),
-        F.sha2(F.array_join(_words(raw), " "), 256).alias("ch"),
-    )
-    first = ch.groupBy("ch").agg(F.min(id_col).alias("_first_doc"))
     totals = ch.groupBy(id_col).agg(F.count("*").alias("_n_total"))
-    kept = ch.join(first, "ch").filter(F.col(id_col) == F.col("_first_doc"))
+    unclaimed = (
+        ch if claimed is None else ch.join(claimed.select("ch"), "ch", "left_anti")
+    )
+    first = unclaimed.groupBy("ch").agg(F.min(id_col).alias("_first_doc"))
+    kept = unclaimed.join(first, "ch").filter(F.col(id_col) == F.col("_first_doc"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

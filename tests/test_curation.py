@@ -337,3 +337,122 @@ def test_checkpoint_rejects_remote_root(spark, tmp_path):
     assert cp.root == f"{tmp_path}/state"
     # windows-drive-free plain relative/absolute paths untouched
     assert CurationCheckpoint(spark, str(tmp_path / "s2")).root == str(tmp_path / "s2")
+
+
+# ---------------------------------------------------------- chunk/semantic
+def _block(prefix, n=32):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_curate_corpus_chunk_dedup_and_semantic_decontam(spark):
+    """chunk_dedup rewrites a shared boilerplate block out of the later
+    doc (not a near-dup — doc-level dedup passes both); semantic_bench +
+    embeddings drop the doc planted at the bench vector."""
+    boiler = _block("boiler")
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + _block("uniqa")),
+            (2, boiler + " " + _block("uniqb")),
+            (3, _block("plain")),
+            (4, _block("planted")),
+        ],
+        ["doc_id", "text"],
+    )
+    dim = 8
+    e = [0.0] * dim
+    bench_vec = [1.0] + e[1:]
+    ortho = [0.0, 1.0] + e[2:]
+    embeddings = spark.createDataFrame(
+        [(1, ortho), (2, ortho), (3, ortho), (4, bench_vec)],
+        ["doc_id", "embedding"],
+    )
+    semantic_bench = spark.createDataFrame([(900, bench_vec)], ["doc_id", "embedding"])
+    res = curate_corpus(
+        docs,
+        lm_quantile=0.0,
+        chunk_dedup=True,
+        semantic_bench=semantic_bench,
+        embeddings=embeddings,
+    )
+    m = res.metrics
+    assert m["n_after_near_dedup"] == 4
+    assert m["chunks_dropped"] == 1  # doc 2's boilerplate chunk
+    assert m["n_after_chunk_dedup"] == 4
+    assert m["n_after_semantic_decontam"] == 3  # doc 4 dropped
+    texts = {r["doc_id"]: r["text"] for r in res.curated.collect()}
+    assert set(texts) == {1, 2, 3}
+    assert texts[1].startswith("boiler0 ")
+    assert "boiler0" not in texts[2] and texts[2].startswith("uniqb0 ")
+
+
+def test_checkpoint_cross_batch_chunk_dedup(spark, tmp_path):
+    """A later batch's copy of a historical boilerplate block is dropped
+    via the persisted chunk_hashes state even though the carrier docs
+    are nowhere near doc-level duplicates; stage metrics land in the
+    manifest ledger."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    boiler = _block("shared")
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(1, boiler + " " + _block("first"))], ["doc_id", "text"]
+    )
+    r1 = cp.run(b1, lm_quantile=0.0, chunk_dedup=True)
+    assert r1.metrics["chunks_dropped"] == 0
+    b2 = spark.createDataFrame(
+        [(100, boiler + " " + _block("second")), (101, _block("other"))],
+        ["doc_id", "text"],
+    )
+    r2 = cp.run(b2, lm_quantile=0.0, chunk_dedup=True)
+    assert r2.metrics["n_after_near_dedup"] == 2
+    assert r2.metrics["chunks_dropped"] == 1
+    texts = {r["doc_id"]: r["text"] for r in r2.curated.collect()}
+    assert "shared0" not in texts[100] and texts[100].startswith("second0 ")
+    assert texts[101].startswith("other0 ")
+    # ledger carries the stage metrics for every committed batch
+    hist = dict(cp.history())
+    assert hist[r2.metrics["batch_id"]]["chunks_dropped"] == 1
+    # chunk ownership toggling is parameter drift — refused
+    with pytest.raises(ValueError, match="parameter"):
+        cp.run(b2, lm_quantile=0.0, chunk_dedup=False)
+    # compaction preserves the chunk state: a batch-3 copy of the
+    # boilerplate is still chunk-dropped after compact()
+    cp.compact()
+    b3 = spark.createDataFrame(
+        [(200, boiler + " " + _block("third"))], ["doc_id", "text"]
+    )
+    r3 = cp.run(b3, lm_quantile=0.0, chunk_dedup=True)
+    assert r3.metrics["chunks_dropped"] == 1
+    t3 = {r["doc_id"]: r["text"] for r in r3.curated.collect()}
+    assert "shared0" not in t3[200]
+
+
+def test_checkpoint_semantic_decontam(spark, tmp_path):
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    dim = 8
+    bench_vec = [1.0] + [0.0] * (dim - 1)
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    docs = spark.createDataFrame(
+        [(1, _block("keepme")), (2, _block("contam"))], ["doc_id", "text"]
+    )
+    embeddings = spark.createDataFrame(
+        [(1, ortho), (2, bench_vec)], ["doc_id", "embedding"]
+    )
+    semantic_bench = spark.createDataFrame([(900, bench_vec)], ["doc_id", "embedding"])
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    r = cp.run(
+        docs,
+        lm_quantile=0.0,
+        semantic_bench=semantic_bench,
+        embeddings=embeddings,
+    )
+    assert r.metrics["n_after_semantic_decontam"] == 1
+    assert {x["doc_id"] for x in r.curated.collect()} == {1}
+    # missing embeddings is a loud error, not a silent keep-all
+    with pytest.raises(ValueError, match="embeddings"):
+        cp.run(
+            spark.createDataFrame([(5, _block("late"))], ["doc_id", "text"]),
+            lm_quantile=0.0,
+            semantic_bench=semantic_bench,
+        )
