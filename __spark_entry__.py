@@ -749,6 +749,17 @@ def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lm_score_kn(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (absolute discount +
+    continuation counts — the model-table step from JM toward KenLM
+    fidelity): train on even doc_ids, score the held-out odd half."""
+    docs = _docs(spark, sf)
+    model = lm.train_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.lm_score_kn(docs.filter(F.col("doc_id") % 2 == 1), model).select(
+        "doc_id", "n_trigrams", "avg_logp"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.language_id(_docs(spark, sf)).select("doc_id", "pred_lang", "score")
 
@@ -1069,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "lm_score": q_lm_score,
         "lm_score_trigram": q_lm_score_trigram,
+        "lm_score_kn": q_lm_score_kn,
         "curation_incremental": q_curation_incremental,
         "curation_streaming": q_curation_streaming,
         "dedup_containment": q_dedup_containment,
@@ -2064,6 +2076,75 @@ WITH tok AS (
   LEFT JOIN c1 u3 ON d.w3 = u3.w1
   CROSS JOIN vt
   WHERE d.doc_id % 2 = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+FROM sc GROUP BY doc_id
+"""
+    # interpolated Kneser-Ney replay: same token/count CTEs as the JM
+    # oracle plus the four type-count tables; D=0.75, α=0.1. The tok/
+    # n-gram CTEs are multiply-referenced — MATERIALIZED (DuckDB inlines
+    # CTEs per reference otherwise).
+    out["lm_score_kn"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), tge AS MATERIALIZED (
+  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                                     i -> [toks[i], toks[i+1], toks[i+2]])) AS g
+        FROM tok WHERE len(toks) >= 3)
+), bge AS MATERIALIZED (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM tok WHERE len(toks) >= 2)
+), c3 AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM tge WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+   c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bge WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+   c1 AS (SELECT w1, count(*) AS c1
+          FROM (SELECT doc_id, unnest(toks) AS w1 FROM tok WHERE doc_id % 2 = 0)
+          GROUP BY 1),
+   vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+   ctxt AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n3t FROM c3 GROUP BY 1, 2),
+   contb AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS cont23 FROM c3 GROUP BY 1, 2),
+   midt AS (SELECT w2, CAST(count(*) AS DOUBLE) AS mid_types FROM c3 GROUP BY 1),
+   folt AS (SELECT w1 AS w2, CAST(count(*) AS DOUBLE) AS follow_types FROM c2 GROUP BY 1),
+   contu AS (SELECT w2 AS w3, CAST(count(*) AS DOUBLE) AS cont1 FROM c2 GROUP BY 1),
+   nb AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM c2),
+   lvl AS (
+  SELECT doc_id, c2v, c3v, n3tv,
+         CASE WHEN midv > 0
+              THEN greatest(cont23v - 0.75, 0) / midv + 0.75 * foltv / midv * pc
+              ELSE pc END AS p2
+  FROM (
+    SELECT d.doc_id,
+           coalesce(x2.c2, 0)::DOUBLE AS c2v,
+           coalesce(t3.c3, 0)::DOUBLE AS c3v,
+           coalesce(ct.n3t, 0) AS n3tv,
+           coalesce(cb.cont23, 0) AS cont23v,
+           coalesce(mt.mid_types, 0) AS midv,
+           coalesce(ft.follow_types, 0) AS foltv,
+           (coalesce(cu.cont1, 0) + 0.1) / (nb.b + 0.1 * vv.v) AS pc
+    FROM tge d
+    LEFT JOIN c3 t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
+    LEFT JOIN c2 x2 ON d.w1 = x2.w1 AND d.w2 = x2.w2
+    LEFT JOIN ctxt ct ON d.w1 = ct.w1 AND d.w2 = ct.w2
+    LEFT JOIN contb cb ON d.w2 = cb.w2 AND d.w3 = cb.w3
+    LEFT JOIN midt mt ON d.w2 = mt.w2
+    LEFT JOIN folt ft ON d.w2 = ft.w2
+    LEFT JOIN contu cu ON d.w3 = cu.w3
+    CROSS JOIN nb CROSS JOIN vv
+    WHERE d.doc_id % 2 = 1
+  )
+), sc AS (
+  SELECT doc_id,
+         ln(CASE WHEN c2v > 0
+                 THEN greatest(c3v - 0.75, 0) / c2v + 0.75 * n3tv / c2v * p2
+                 ELSE p2 END) AS logp
+  FROM lvl
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp

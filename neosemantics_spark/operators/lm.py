@@ -247,3 +247,105 @@ def lm_score_trigram(
         F.count("*").alias("n_trigrams"),
         round4(F.avg("logp")).alias("avg_logp"),
     )
+
+
+# --------------------------------------------------- interpolated Kneser-Ney
+class KNStats(NamedTuple):
+    """Type/continuation-count tables for interpolated Kneser-Ney —
+    derived from the TrigramLM count tables by four groupBys over n-gram
+    TYPES (model-table scale, not corpus scale): exactly the
+    'model-table change, not a plan change' the JM docstring promises."""
+
+    ctx_types: DataFrame  # (w1, w2, n3t)            N1+(w1 w2 •)
+    cont_bi: DataFrame    # (w2, w3, cont23)         N1+(• w2 w3)
+    mid: DataFrame        # (w2, mid_types, follow_types)  N1+(• w2 •), N1+(w2 •)
+    cont_uni: DataFrame   # (w3, cont1)              N1+(• w3)
+    n_bigram_types: int   # N1+(• •)
+
+
+def kn_stats(model: TrigramLM) -> KNStats:
+    """Build the KN tables. Each trigram-table row is one trigram TYPE,
+    so type counts are plain `count(*)` groupBys — no distinct-agg
+    Expand. The two bigram-derived tables double as the continuation
+    unigram distribution (N1+(• w) — 'in how many contexts was w seen',
+    the Kneser-Ney insight that fixes JM's raw-frequency unigram floor
+    for words frequent only in one context)."""
+    tri, bi = model.trigrams, model.bigrams
+    ctx_types = tri.groupBy("w1", "w2").agg(F.count("*").alias("n3t"))
+    cont_bi = tri.groupBy("w2", "w3").agg(F.count("*").alias("cont23"))
+    mid_types = tri.groupBy("w2").agg(F.count("*").alias("mid_types"))
+    follow = bi.groupBy("w1").agg(F.count("*").alias("follow_types")).withColumnRenamed(
+        "w1", "w2"
+    )
+    mid = mid_types.join(follow, "w2", "full").select(
+        "w2",
+        F.coalesce("mid_types", F.lit(0)).alias("mid_types"),
+        F.coalesce("follow_types", F.lit(0)).alias("follow_types"),
+    )
+    cont_uni = bi.groupBy("w2").agg(F.count("*").alias("cont1")).withColumnRenamed(
+        "w2", "w3"
+    )
+    return KNStats(ctx_types, cont_bi, mid, cont_uni, bi.count())
+
+
+def lm_score_kn(
+    docs: DataFrame,
+    model: TrigramLM,
+    stats: KNStats | None = None,
+    discount: float = 0.75,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logp) — mean ln of the interpolated
+    Kneser-Ney trigram probability (the KenLM-fidelity step up from
+    `lm_score_trigram`'s Jelinek-Mercer):
+
+        P(w3|w1,w2) = max(c(w1w2w3)−D, 0)/c(w1w2)
+                      + D·N1+(w1w2•)/c(w1w2) · P(w3|w2)
+        P(w3|w2)    = max(N1+(•w2w3)−D, 0)/N1+(•w2•)
+                      + D·N1+(w2•)/N1+(•w2•) · Pc(w3)
+        Pc(w3)      = (N1+(•w3) + α) / (N1+(••) + α·V)
+
+    with full backoff to the lower order when a context is unseen
+    (c(w1w2)=0 or N1+(•w2•)=0) and the same add-α floor on the
+    continuation unigram keeping every probability positive. The join
+    shape is the JM plan plus two type-count tables — seven n-gram-keyed
+    equi-joins, zero driver state beyond three scalars."""
+    if stats is None:
+        stats = kn_stats(model)
+    tg = _doc_trigrams(docs, id_col, text_col)
+    joined = (
+        tg.join(model.trigrams, ["w1", "w2", "w3"], "left")
+        .join(
+            model.bigrams.select("w1", "w2", F.col("c2").alias("ctx2")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(stats.ctx_types, ["w1", "w2"], "left")
+        .join(stats.cont_bi, ["w2", "w3"], "left")
+        .join(stats.mid, "w2", "left")
+        .join(stats.cont_uni, "w3", "left")
+    )
+    D = F.lit(float(discount))
+    c3 = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    ctx2 = F.coalesce(F.col("ctx2"), F.lit(0)).cast("double")
+    n3t = F.coalesce(F.col("n3t"), F.lit(0)).cast("double")
+    cont23 = F.coalesce(F.col("cont23"), F.lit(0)).cast("double")
+    midt = F.coalesce(F.col("mid_types"), F.lit(0)).cast("double")
+    folt = F.coalesce(F.col("follow_types"), F.lit(0)).cast("double")
+    cont1 = F.coalesce(F.col("cont1"), F.lit(0)).cast("double")
+    pc = (cont1 + alpha) / (stats.n_bigram_types + alpha * model.vocab_size)
+    p2 = F.when(
+        midt > 0,
+        F.greatest(cont23 - D, F.lit(0.0)) / midt + D * folt / midt * pc,
+    ).otherwise(pc)
+    p3 = F.when(
+        ctx2 > 0,
+        F.greatest(c3 - D, F.lit(0.0)) / ctx2 + D * n3t / ctx2 * p2,
+    ).otherwise(p2)
+    scored = joined.select("id", F.log(p3).alias("logp"))
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_trigrams"),
+        round4(F.avg("logp")).alias("avg_logp"),
+    )

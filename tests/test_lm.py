@@ -89,3 +89,41 @@ def test_trigram_oov_scores_low_but_finite(spark, corpus):
     assert lm.lm_score_trigram(
         spark.createDataFrame([(8, "two words")], ["doc_id", "text"]), model
     ).count() == 0
+
+
+def test_kn_matches_manual(spark, corpus):
+    """Hand-check one trigram against the interpolated Kneser-Ney
+    formula (D=0.75, add-α continuation floor)."""
+    model = lm.train_trigram_lm(corpus)
+    stats = lm.kn_stats(model)
+    # corpus: doc0 = the cat sat on the mat, doc2 = the cat ate the fish
+    probe = spark.createDataFrame([(100, "the cat sat")], ["doc_id", "text"])
+    out = lm.lm_score_kn(probe, model, stats).collect()[0]
+    assert out["n_trigrams"] == 1
+    D, a = 0.75, 0.1
+    V = model.vocab_size            # 9
+    B = stats.n_bigram_types        # distinct bigram types
+    # continuation unigram for 'sat': N1+(• sat) = 1 ('cat sat' only)
+    pc = (1 + a) / (B + a * V)
+    # level 2 (w2='cat', w3='sat'): N1+(• cat sat)=1, N1+(• cat •)=2
+    # ('the cat sat', 'the cat ate'), N1+(cat •)=2 ('cat sat','cat ate')
+    p2 = max(1 - D, 0) / 2 + D * 2 / 2 * pc
+    # level 3: c(the cat sat)=1, c(the cat)=2, N1+(the cat •)=2
+    p3 = max(1 - D, 0) / 2 + D * 2 / 2 * p2
+    want = math.floor(math.log(p3) * 10000 + 0.5) / 10000
+    assert out["avg_logp"] == pytest.approx(want, abs=1e-9)
+
+
+def test_kn_oov_and_ordering(spark, corpus):
+    model = lm.train_trigram_lm(corpus)
+    stats = lm.kn_stats(model)
+    seen = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    gib = spark.createDataFrame([(2, "zxq wvut plonk blarg fnord")], ["doc_id", "text"])
+    s = lm.lm_score_kn(seen, model, stats).collect()[0]["avg_logp"]
+    g = lm.lm_score_kn(gib, model, stats).collect()[0]["avg_logp"]
+    assert s > g  # in-distribution text outscores gibberish
+    assert math.isfinite(g)  # α floor keeps OOV finite
+    # unseen middle word w2 backs off to the continuation floor:
+    # p2 = pc, p3 = p2 (both contexts unseen) — still finite
+    part = spark.createDataFrame([(3, "the zzz cat")], ["doc_id", "text"])
+    assert math.isfinite(lm.lm_score_kn(part, model, stats).collect()[0]["avg_logp"])
