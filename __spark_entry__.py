@@ -483,14 +483,19 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 top-10 for a mixed rare+common query ('dup' is the
     discriminative term in the synthetic vocabulary) — served through
     the PERSISTED index path: postings written partitioned by md5 term
-    bucket, reopened, and queried with bucket partition-pruning + zero
-    per-query scalar jobs (the inline path is covered by pytest)."""
+    bucket for HALF the corpus, the other half folded in with
+    append_postings (incremental index maintenance), then reopened and
+    queried with bucket partition-pruning + zero per-query scalar jobs —
+    the oracle's from-scratch SQL ranking over the full corpus checks
+    that index+append ≡ rebuild (the inline path is covered by pytest)."""
     import shutil
     import tempfile
 
     root = tempfile.mkdtemp(prefix="bm25_idx_")
     try:
-        search.write_postings(_docs(spark, sf), root, n_buckets=16)
+        docs = _docs(spark, sf)
+        search.write_postings(docs.filter(F.col("doc_id") % 2 == 0), root, n_buckets=16)
+        search.append_postings(docs.filter(F.col("doc_id") % 2 == 1), root)
         idx = search.read_postings(spark, root)
         out = search.bm25_topk(None, "dup merge window", k=10, index=idx).select(
             "doc_id", "score", "rank"

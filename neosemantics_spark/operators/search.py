@@ -93,6 +93,69 @@ def build_postings(
     return postings, doclens
 
 
+def _idx_manifest(path: str) -> dict:
+    import json
+    import os
+
+    head = os.path.join(path, "commits", "HEAD")
+    try:
+        with open(head) as fh:
+            name = fh.read().strip()
+        with open(os.path.join(path, "commits", name)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"seq": 0, "batches": []}
+
+
+def _idx_publish(path: str, batches: list) -> None:
+    import json
+    import os
+
+    commits = os.path.join(path, "commits")
+    os.makedirs(commits, exist_ok=True)
+    seq = _idx_manifest(path)["seq"] + 1
+    name = f"MANIFEST-{seq:06d}.json"
+    with open(os.path.join(commits, name), "w") as fh:
+        json.dump({"seq": seq, "batches": batches}, fh)
+    tmp = os.path.join(commits, ".HEAD.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.rename(tmp, os.path.join(commits, "HEAD"))
+
+
+def _idx_batch_id(doclens: DataFrame) -> str:
+    """Deterministic content fingerprint of a batch (order-independent
+    xor of id hashes + count): a replay of a crashed append maps to the
+    SAME batch directories and overwrites its own partial write."""
+    r = doclens.agg(
+        F.count("*").alias("n"), F.expr("bit_xor(xxhash64(id))").alias("x")
+    ).first()
+    return f"{r['n']}-{(r['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _write_index_batch(
+    postings: DataFrame, doclens: DataFrame, path: str, bid: str, n_buckets: int
+) -> None:
+    (
+        postings.withColumn("tb", _term_bucket_col(n_buckets))
+        # co-locate each bucket's postings into its partition directory
+        # in one file per shuffle partition rather than one file per
+        # (task, bucket) pair
+        .repartition(F.col("tb"))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings/batch={bid}")
+    )
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens/batch={bid}")
+    (
+        doclens.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        ).write.mode("overwrite").parquet(f"{path}/stats/batch={bid}")
+    )
+
+
 def write_postings(
     docs: DataFrame,
     path: str,
@@ -102,50 +165,115 @@ def write_postings(
 ) -> None:
     """Persist the inverted index under `path`:
 
-    - `postings/` parquet partitioned by `tb` (md5 term bucket) — a
-      query prunes to its terms' buckets via a partition filter, so a
-      3-term query over a 64-bucket index reads at most 3/64ths of the
-      postings (and within a bucket the `term IN` predicate is pushed
-      to parquet row groups).
-    - `doclens/` parquet (id, dl).
-    - `stats/` one-row parquet (n_docs, avgdl, n_buckets) — the two
-      per-query scalar jobs of the index-less path become one `.first()`
-      at index open.
+    - `postings/batch=<id>/` parquet partitioned by `tb` (md5 term
+      bucket) — a query prunes to its terms' buckets via a partition
+      filter, so a 3-term query over a 64-bucket index reads at most
+      3/64ths of the postings (and within a bucket the `term IN`
+      predicate is pushed to parquet row groups).
+    - `doclens/batch=<id>/` parquet (id, dl).
+    - `stats/batch=<id>/` one-row parquet (n_docs, sum_dl, n_buckets) —
+      the per-query scalar jobs of the index-less path become one tiny
+      agg at index open.
 
-    Append/refresh semantics are whole-index overwrite: an inverted
-    index is a derived artifact rebuilt from the corpus (incremental
-    posting maintenance is a different engine feature; at 100 TB you
-    rebuild per corpus release alongside the curated output)."""
+    The index survives corpus growth the way the curation state does:
+    `append_postings` folds a new document batch into its own batch
+    directories under the same term-bucket layout and commits with a
+    single HEAD rename (commits/MANIFEST-<n> snapshot pointer); readers
+    see only committed batches, a crash mid-append leaves the previous
+    snapshot fully live, and a replay overwrites its own partial
+    directories (content-fingerprint batch ids). `write_postings`
+    itself (re)initializes the index to exactly one batch."""
     postings, doclens = build_postings(docs, id_col, text_col)
-    (
-        postings.withColumn("tb", _term_bucket_col(n_buckets))
-        # co-locate each bucket's postings into its partition directory
-        # in one file per shuffle partition rather than one file per
-        # (task, bucket) pair
-        .repartition(F.col("tb"))
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
-    )
-    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-    (
-        doclens.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.lit(n_buckets).alias("n_buckets"),
-        ).write.mode("overwrite").parquet(f"{path}/stats")
-    )
+    doclens = doclens.localCheckpoint(eager=True)
+    bid = _idx_batch_id(doclens)
+    _write_index_batch(postings, doclens, path, bid, n_buckets)
+    _idx_publish(path, [bid])
+
+
+def append_postings(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    validate_ids: bool = True,
+) -> str:
+    """Fold a new document batch into a persisted index — incremental
+    index maintenance, not a rebuild. New doc ids are DISJOINT from the
+    indexed corpus (validated by default: one narrow semi-join count
+    over doclens), so the batch's postings rows are disjoint from every
+    committed batch and 'merge' is pure directory append under the SAME
+    md5 term-bucket layout (`tb` values are content hashes — stable
+    across batches by construction). Stats re-derive at open time from
+    the per-batch (n_docs, sum_dl) rows, so avgdl is exact over the
+    grown corpus. Commit = one HEAD rename after every directory is
+    written; index+append ≡ rebuild over the union (pinned by test and
+    the bm25_search driver oracle). Returns the batch id."""
+    spark = docs.sparkSession
+    m = _idx_manifest(path)
+    if not m["batches"]:
+        raise ValueError(f"no committed BM25 index at {path!r} — build with write_postings first")
+    old = read_postings(spark, path)
+    postings, doclens = build_postings(docs, id_col, text_col)
+    doclens = doclens.localCheckpoint(eager=True)
+    if validate_ids:
+        n_dup = doclens.join(old.doclens, "id", "left_semi").count()
+        if n_dup:
+            raise ValueError(
+                f"append_postings: {n_dup} doc ids already indexed — ids must "
+                "be globally unique across batches (rebuild with "
+                "write_postings to re-index changed documents)"
+            )
+    bid = _idx_batch_id(doclens)
+    _write_index_batch(postings, doclens, path, bid, old.n_buckets)
+    if bid not in m["batches"]:
+        _idx_publish(path, m["batches"] + [bid])
+    return bid
 
 
 def read_postings(spark: SparkSession, path: str) -> BM25Index:
-    """Open a persisted index. One tiny stats job; the postings/doclens
-    scans stay lazy until a query runs."""
-    stats = spark.read.parquet(f"{path}/stats").first()
+    """Open a persisted index at its committed snapshot: the batch list
+    comes from the manifest HEAD, the corpus stats fold the per-batch
+    rows (sums — exact avgdl over all batches), and the postings/
+    doclens scans stay lazy until a query runs (tb partition pruning
+    applies within every batch directory)."""
+    import os
+
+    batches = _idx_manifest(path)["batches"]
+    if not batches:
+        raise ValueError(f"no committed BM25 index at {path!r}")
+    post_dirs = [os.path.join(path, "postings", f"batch={b}") for b in batches]
+    dl_dirs = [os.path.join(path, "doclens", f"batch={b}") for b in batches]
+    st_dirs = [os.path.join(path, "stats", f"batch={b}") for b in batches]
+    stats = (
+        spark.read.parquet(*st_dirs)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.max("n_buckets").alias("n_buckets"),
+        )
+        .first()
+    )
+    n_docs = int(stats["n_docs"] or 0)
+    avgdl = float(stats["sum_dl"]) / n_docs if n_docs else 0.0
+    # basePath anchors partition discovery above the batch=<id> level so
+    # multiple batch directories (each holding tb=* subdirs) present one
+    # consistent (batch, tb)-partitioned relation; `batch` is an
+    # implementation column, dropped from the logical schema
+    postings = (
+        spark.read.option("basePath", os.path.join(path, "postings"))
+        .parquet(*post_dirs)
+        .drop("batch")
+    )
+    doclens = (
+        spark.read.option("basePath", os.path.join(path, "doclens"))
+        .parquet(*dl_dirs)
+        .drop("batch")
+    )
     return BM25Index(
-        postings=spark.read.parquet(f"{path}/postings"),
-        doclens=spark.read.parquet(f"{path}/doclens"),
-        n_docs=int(stats["n_docs"]),
-        avgdl=float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        postings=postings,
+        doclens=doclens,
+        n_docs=n_docs,
+        avgdl=avgdl,
         n_buckets=int(stats["n_buckets"]),
     )
 

@@ -118,3 +118,56 @@ def test_persisted_index_matches_inline_and_prunes(spark, docs, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and str(want) in m.group(1), plan[:2000]
+
+
+def test_append_postings_equals_rebuild(spark, docs, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half — queries through the appended index rank exactly
+    like a from-scratch rebuild over the union, and the stats fold
+    exactly."""
+    a = docs.filter("doc_id < 2")
+    b = docs.filter("doc_id >= 2")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    search.write_postings(a, inc, n_buckets=16)
+    bid = search.append_postings(b, inc)
+    assert bid in search._idx_manifest(inc)["batches"]
+    search.write_postings(docs, full, n_buckets=16)
+    i_inc = search.read_postings(spark, inc)
+    i_full = search.read_postings(spark, full)
+    assert i_inc.n_docs == i_full.n_docs == 5
+    assert i_inc.avgdl == pytest.approx(i_full.avgdl)
+    for q in ("join shuffle", "spark partitions", "join"):
+        r1 = [(r["doc_id"], r["score"], r["rank"])
+              for r in search.bm25_topk(None, q, k=5, index=i_inc).collect()]
+        r2 = [(r["doc_id"], r["score"], r["rank"])
+              for r in search.bm25_topk(None, q, k=5, index=i_full).collect()]
+        assert r1 == r2, q
+    # postings themselves match row-for-row
+    p1 = sorted(map(tuple, i_inc.postings.select("term", "id", "tf", "tb").collect()))
+    p2 = sorted(map(tuple, i_full.postings.select("term", "id", "tf", "tb").collect()))
+    assert p1 == p2
+
+
+def test_append_postings_guards(spark, docs, tmp_path):
+    import os
+
+    path = str(tmp_path / "g")
+    # appending to a non-existent index is refused
+    with pytest.raises(ValueError, match="write_postings first"):
+        search.append_postings(docs, path)
+    search.write_postings(docs.filter("doc_id < 3"), path, n_buckets=16)
+    # overlapping doc ids are refused (re-index needs a rebuild)
+    with pytest.raises(ValueError, match="already indexed"):
+        search.append_postings(docs.filter("doc_id >= 1"), path)
+    # a crashed append (batch dirs written, no commit) is invisible
+    before = search.read_postings(spark, path).n_docs
+    os.makedirs(os.path.join(path, "postings", "batch=dead"), exist_ok=True)
+    assert search.read_postings(spark, path).n_docs == before
+    # replaying the same append twice commits once (idempotent)
+    b = docs.filter("doc_id >= 3")
+    bid1 = search.append_postings(b, path)
+    bid2 = search.append_postings(b, path, validate_ids=False)
+    assert bid1 == bid2
+    assert search._idx_manifest(path)["batches"].count(bid1) == 1
+    assert search.read_postings(spark, path).n_docs == 5
