@@ -687,9 +687,11 @@ def ann_topk_router(
       not copies; centroid routing matches how the corpus clusters) →
       `ivf_topk(n_probe=16, assign_k=2)`: recall 0.92 iid. When an IVF
       layout must ALSO serve near-dup queries (one index for both), the
-      measured ≥0.85 config is `n_probe=32, assign_k=4` (0.895 near-dup
-      / 1.00 iid) at ~3× the scoring cost — replication into 4 inverted
-      lists is what recovers clones that straddle centroid boundaries.
+      measured ≥0.9 config is `n_probe=48, assign_k=4` (0.945 near-dup,
+      round-5 study) — replication into 4 inverted lists recovers clones
+      that straddle centroid boundaries, and widening the probe list is
+      free relative to more replication (same wall time as n_probe=32's
+      0.895; assign_k=5 also clears at 0.92 but costs ~2×).
 
     The router keeps the workload→config mapping in one audited place so
     pipeline code does not re-derive it from the study."""

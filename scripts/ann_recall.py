@@ -94,7 +94,7 @@ def main() -> None:
     for n_probe, refine, assign_k in (
         (4, 0, 1), (8, 0, 1), (8, 1, 1), (16, 1, 1),
         (8, 0, 2), (16, 0, 2), (16, 1, 2),
-        (24, 0, 3), (32, 0, 4),
+        (24, 0, 3), (32, 0, 4), (48, 0, 4), (32, 0, 5),
     ):
         t0 = time.perf_counter()
         r = recall(
