@@ -598,6 +598,51 @@ def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing at alpha=0.5 over the language
+    strata: per-stratum budgets ∝ sqrt(stratum token total), scaled to
+    an 8000-token overall budget, then the shuffle-free md5-threshold
+    keep-filter. Small languages get upsampled relative to their
+    natural share (the XLM-R/mT5 mixing rule); strata whose budget
+    exceeds their total exercise the keep-whole path."""
+    return datasets.temperature_mix(
+        _docs(spark, sf), total_budget=8000, alpha=0.5, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: every document's (shard, seq_id, seq_offset)
+    position in 4 parallel 256-token GPT-style concat-and-chunk streams,
+    ordered by the deterministic md5 shuffle within each shard."""
+    return datasets.pack_sequences(
+        _docs(spark, sf), seq_tokens=256, n_shards=4
+    ).select("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup action: LSH-bucketed
+    near-dup pairs at cosine >= 0.5 (the iid-regime threshold that
+    yields a non-trivial pair graph on the synthetic embeddings) →
+    connected components → min-id representative election. Every vector
+    comes back with its cluster and an is_rep flag."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.semantic_dedup(emb, threshold=0.5).select(
+        "vec_id", "cluster_id", "is_rep"
+    )
+
+
+def q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling: IVF-assign every vector to one of 16
+    deterministic centroids, then cap each cluster at 20 kept vectors in
+    expectation via per-cluster integer-arithmetic md5 cutoffs — the
+    diversity-flattening downsample, fully distributed (no driver
+    collect)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.cluster_balanced_sample(
+        emb, target_per_cluster=20, n_centroids=16
+    ).select("vec_id", "centroid_id")
+
+
 def q_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space decontamination: vec_id % 20 == 0 vectors act as
     the held-out benchmark; training vectors (the rest) within cosine
@@ -1092,6 +1137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "semantic_decontam_lsh": q_semantic_decontam_lsh,
         "token_budget_sample": q_token_budget_sample,
+        "temperature_mix": q_temperature_mix,
+        "pack_sequences": q_pack_sequences,
+        "semantic_dedup": q_semantic_dedup,
+        "cluster_sample": q_cluster_sample,
         "repetition_features": q_repetition_features,
         "chunk_dup_stats": q_chunk_dup_stats,
         "dedup_chunks": q_dedup_chunks,
@@ -2043,6 +2092,52 @@ WHERE (lang = 'en' AND (6000 >= tot OR p < printf('%04x', CAST(greatest(1, floor
    OR (lang = 'de' AND (2500 >= tot OR p < printf('%04x', CAST(greatest(1, floor(2500 / tot * 65536)) AS BIGINT))))
    OR (lang = 'zh' AND (1000000 >= tot OR p < printf('%04x', CAST(greatest(1, floor(1000000 / tot * 65536)) AS BIGINT))))
 """
+    # temperature mixing: replay the alpha=0.5 budget formula (sqrt is
+    # IEEE-correctly-rounded — bit-identical across engines) and the
+    # same floor-clamped md5 cutoffs as token_budget_sample.
+    out["temperature_mix"] = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS ntok
+  FROM documents
+), tot AS (SELECT lang, CAST(sum(ntok) AS DOUBLE) AS tot FROM tok GROUP BY lang),
+   z AS (SELECT sum(sqrt(tot)) AS z FROM tot),
+   bud AS (SELECT lang, tot, 8000 * sqrt(tot) / z AS budget FROM tot CROSS JOIN z),
+   pfx AS (
+  SELECT d.doc_id, d.lang, b.tot, b.budget,
+         substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4) AS p
+  FROM documents d JOIN bud b USING (lang)
+)
+SELECT doc_id, lang FROM pfx
+WHERE budget >= tot
+   OR p < printf('%04x', CAST(greatest(1, floor(budget / tot * 65536)) AS BIGINT))
+"""
+    # sequence packing: portable md5 shard hash + per-shard running-sum
+    # window, exactly the Spark plan's shape.
+    out["pack_sequences"] = """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                         t -> t <> '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 4 AS INT) AS shard
+  FROM tok WHERE n_tokens > 0
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS st
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor(st / 256.0) AS BIGINT) AS seq_id,
+       CAST(st % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
     out["lm_score_trigram"] = """
 WITH tok AS (
   SELECT doc_id,
@@ -2225,6 +2320,66 @@ WITH e AS (
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
+"""
+    # SemDeDup action: the embedding_near_dups pair replay + recursive
+    # transitive closure (the dedup_clusters shape) + min-id rep flag.
+    out["semantic_dedup"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS MATERIALIZED (
+  SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
+  UNION ALL
+  SELECT id, v, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
+), s AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         floor(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+               * 10000 + 0.5) / 10000 AS score
+  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), pr AS (SELECT a, b FROM s WHERE score >= 0.5),
+sym AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a WHERE s2.b <> r.a
+),
+comp AS (SELECT a AS vec_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a)
+SELECT v.vec_id,
+       CAST(coalesce(c.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster_id, v.vec_id) = v.vec_id
+                 THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM embeddings v LEFT JOIN comp c USING (vec_id)
+"""
+    # cluster-balanced sampling: the ann_ivf assignment replay + integer
+    # per-cluster cutoffs (target*16^digits // n, >= 1, 'ffffg' sentinel
+    # for keep-all) + the md5(cluster:id) threshold predicate.
+    out["cluster_sample"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cvec
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         floor(sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+               j -> (e.v[j] - c.cvec[j]) * (e.v[j] - c.cvec[j])))) * 10000 + 0.5) / 10000 AS dist
+  FROM e CROSS JOIN c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM scored
+), a AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+   sz AS (SELECT centroid_id, count(*) AS n FROM a GROUP BY centroid_id),
+   cuts AS (
+  SELECT centroid_id,
+         CASE WHEN n <= 20 THEN 'ffffg'
+              ELSE printf('%04x', greatest(1, (20 * 65536) // n)) END AS cut
+  FROM sz
+)
+SELECT a.vec_id, a.centroid_id
+FROM a JOIN cuts USING (centroid_id)
+WHERE substr(md5(CAST(a.centroid_id AS VARCHAR) || ':' || CAST(a.vec_id AS VARCHAR)), 1, 4)
+      < cut
 """
     out["sco_closure"] = """
 WITH RECURSIVE edges AS (

@@ -208,6 +208,59 @@ def stratified_sample(
     return df.filter(expr if expr is not None else F.lit(False))
 
 
+def _stratum_token_totals(
+    df: DataFrame, strata_col: str, text_col: str
+) -> dict[str, int]:
+    """One map-side-combined aggregate: total normalized-token count per
+    stratum. The collect is #strata rows — a mixing config, not data."""
+    return {
+        r[strata_col]: r["_tot"]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.size(norm_tokens(F.col(text_col)))).alias("_tot"))
+        .collect()
+    }
+
+
+def _budget_filter(
+    df: DataFrame,
+    budgets: dict[str, float],
+    totals: dict[str, int],
+    strata_col: str,
+    id_col: str,
+    digits: int,
+) -> DataFrame:
+    """Shared keep-predicate for token-budget sampling: per stratum the
+    keep fraction is min(1, budget/total) and the filter is the
+    shuffle-free md5-threshold predicate keyed on (stratum, id) — see
+    `token_budget_sample` for why the exact-cutoff running-sum
+    alternative is rejected. Cutoffs floor to >= 1 slot so a positive
+    budget never silently drops a stratum."""
+    space = 16**digits
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))),
+        1,
+        digits,
+    )
+    expr = None
+    for stratum, budget in sorted(budgets.items()):
+        total = totals.get(stratum)
+        if not total or budget <= 0:
+            continue
+        base = F.col(strata_col) == stratum
+        if budget >= total:
+            cond = base
+        else:
+            # clamp to >= 1: a tiny-but-positive budget (budget/total <
+            # 16^-digits) would floor to 0 and silently drop the whole
+            # stratum; one prefix slot (expected total/16^digits tokens)
+            # is the smallest representable nonzero sample at this
+            # resolution.
+            cut = _hex_cutoff(max(1, int(budget / total * space)), digits)
+            cond = base & (prefix < F.lit(cut))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr if expr is not None else F.lit(False))
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, float],
@@ -237,33 +290,113 @@ def token_budget_sample(
     reproduces them from the same totals without tie-breaking concerns.
     Strata without a budget are dropped; budget >= total keeps the
     whole stratum."""
-    totals = {
-        r[strata_col]: r["_tot"]
-        for r in df.groupBy(strata_col)
-        .agg(F.sum(F.size(norm_tokens(F.col(text_col)))).alias("_tot"))
-        .collect()
+    totals = _stratum_token_totals(df, strata_col, text_col)
+    return _budget_filter(df, budgets, totals, strata_col, id_col, digits)
+
+
+def temperature_budgets(
+    totals: dict[str, int], total_budget: float, alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum token budgets from temperature-weighted sampling:
+    p_s ∝ n_s^alpha (the multilingual-mixing exponent popularized by
+    XLM-R / mT5 — alpha < 1 upsamples small sources relative to their
+    natural share, alpha=1 is proportional, alpha=0 is uniform), scaled
+    so the budgets sum to `total_budget`. Pure driver-side arithmetic
+    over the #strata totals dict — exposed separately so tests and
+    audits can inspect the mixture before sampling."""
+    z = sum(t**alpha for t in totals.values() if t and t > 0)
+    if z <= 0:
+        return {}
+    return {
+        s: total_budget * (t**alpha) / z for s, t in totals.items() if t and t > 0
     }
-    space = 16**digits
-    prefix = F.substring(
-        F.md5(F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))),
-        1,
-        digits,
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_budget: float,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Temperature-based source mixing: spend a TOTAL token budget across
+    all strata with per-stratum shares p_s ∝ n_s^alpha (see
+    `temperature_budgets`), then keep each stratum's share with the same
+    shuffle-free md5-threshold predicate as `token_budget_sample`. This
+    is how multilingual / multi-source pretraining mixes are actually
+    specified ("1T tokens at temperature 0.3") — the operator turns one
+    (budget, alpha) pair into a deterministic, engine-portable row
+    filter.
+
+    Plan shape: ONE small aggregate (per-stratum token totals,
+    map-side-combined; the collect is #strata rows), driver-side closed-
+    form budget arithmetic, then a pure column predicate — pushdown-able,
+    no shuffle, no RNG. A stratum whose computed budget exceeds its total
+    is kept whole (its surplus is NOT redistributed — redistribution
+    would make every stratum's cutoff depend on the fixpoint of all
+    others and break per-row recomputability; callers wanting saturation
+    semantics iterate with the surplus as a new budget)."""
+    totals = _stratum_token_totals(df, strata_col, text_col)
+    budgets = temperature_budgets(totals, total_budget, alpha)
+    return _budget_filter(df, budgets, totals, strata_col, id_col, digits)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 2048,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LM training: assign every document a
+    position in a fixed-length token stream — (shard, seq_id,
+    seq_offset) such that concatenating each shard's documents in order
+    and slicing every `seq_tokens` tokens reproduces the layout
+    (GPT-style concat-and-chunk packing; the T5 "pack examples until
+    the sequence is full" variant is the same stream with boundaries
+    respected downstream).
+
+    Distribution: a global running token sum is inherently sequential,
+    so the corpus is first split into `n_shards` independent streams by
+    a portable md5 hash of the id (`conv(substr(md5(id),1,8),16,10) %
+    n_shards` — replayable in any engine), each shard is ordered by
+    (md5(id), id) — a deterministic pseudo-random shuffle, which
+    training-order randomization wants anyway — and the running sum is
+    a window per shard: shards pack in parallel, one sort each, no
+    global funnel. At cluster scale set `n_shards` to a few × total
+    cores (each shard is also the natural unit of one output shard
+    file); packing efficiency is unaffected by sharding since every
+    shard slices its own stream.
+
+    Zero-token documents are excluded (they occupy no stream position).
+    Output: (id, shard, n_tokens, seq_id, seq_offset) where seq_id
+    numbers fixed-length sequences within the shard and seq_offset is
+    the document's first-token offset inside its starting sequence —
+    documents crossing a boundary continue into seq_id+1, exactly like
+    the training-time slicer."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(norm_tokens(F.col(text_col))).alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    shard = (F.conv(F.substring("_h", 1, 8), 16, 10).cast("long") % n_shards).cast(
+        "int"
     )
-    expr = None
-    for stratum, budget in sorted(budgets.items()):
-        total = totals.get(stratum)
-        if not total or budget <= 0:
-            continue
-        base = F.col(strata_col) == stratum
-        if budget >= total:
-            cond = base
-        else:
-            # clamp to >= 1: a tiny-but-positive budget (budget/total <
-            # 16^-digits) would floor to 0 and silently drop the whole
-            # stratum; one prefix slot (expected total/16^digits tokens)
-            # is the smallest representable nonzero sample at this
-            # resolution.
-            cut = _hex_cutoff(max(1, int(budget / total * space)), digits)
-            cond = base & (prefix < F.lit(cut))
-        expr = cond if expr is None else expr | cond
-    return df.filter(expr if expr is not None else F.lit(False))
+    t = toks.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(start / seq_tokens).cast("long").alias("seq_id"),
+        (start % seq_tokens).cast("long").alias("seq_offset"),
+    )

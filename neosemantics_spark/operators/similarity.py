@@ -759,3 +759,123 @@ def embedding_near_dups(
     return pv.select(
         "a", "b", round4(cosine(F.col("va"), F.col("vb"))).alias("score")
     ).filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 4,
+    bands: int = 2,
+    max_bucket: int | None = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space deduplication ACTION (the SemDeDup recipe, Abbas
+    et al. 2023): cluster vectors whose cosine similarity transitively
+    exceeds `threshold` and elect one representative per cluster.
+    Composes the engine's two proven pieces — `embedding_near_dups`
+    (LSH-bucketed candidates → exact-cosine pairs; equi-join, never
+    all-pairs) and the skew-hardened connected-components operator via
+    `dedup.near_dup_clusters` (transitivity matters: A~B and B~C puts A
+    and C in one cluster even when they never share a bucket, and
+    pairwise-only dedup under-deletes exactly those chains).
+
+    Output: (id, cluster_id, is_rep) for EVERY input vector —
+    cluster_id is the smallest member id, is_rep=1 marks the kept
+    representative (deterministic: the min id, matching the text-side
+    `dedup_clusters` convention so mixed text+embedding pipelines agree
+    on survivors). Filtering is_rep=1 is the dedup pass; keeping the
+    full table is the audit view."""
+    from .dedup import near_dup_clusters
+
+    pairs = embedding_near_dups(
+        embeddings, threshold, nbits, bands, max_bucket, id_col, vec_col
+    )
+    clusters = near_dup_clusters(
+        embeddings.select(F.col(id_col)), pairs.select("a", "b"), id_col=id_col
+    )
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    target_per_cluster: int,
+    n_centroids: int | None = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 4,
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: cap every semantic cluster at
+    `target_per_cluster` vectors in expectation — the diversity-
+    preserving downsampling used by DataComp-style curation (web corpora
+    are dominated by a few huge topic clusters; a uniform sample keeps
+    that imbalance, this flattens it without dropping rare clusters).
+
+    Plan: IVF coarse assignment (`ivf_assign` — broadcast argmin against
+    the deterministic centroid table, map-side-combined) → per-cluster
+    counts → per-cluster keep-cutoff computed IN SPARK with pure integer
+    arithmetic (`target*16^digits div n`, floored to >= 1 slot, sentinel
+    'ff…fg' for keep-all — the `hash_split` portability rules) → join
+    the #centroids-row cutoff table back (AQE broadcasts it; no explicit
+    hint so an unexpectedly huge centroid table degrades to a shuffle
+    join instead of an executor OOM) → the same md5(cluster:id)
+    threshold predicate as `stratified_sample`. Fully distributed: no
+    driver collect anywhere, so centroid count can scale with
+    sqrt(corpus) unbounded.
+
+    Returns the KEPT rows (id, centroid_id). Deterministic, seed-free,
+    engine-replayable; per-cluster kept counts are binomial around the
+    target (exact-k per cluster would need a per-cluster top-k sort —
+    one reducer per cluster, the hot-partition collapse
+    `token_budget_sample` documents)."""
+    space = 16**digits
+    # pin the assignment: it feeds BOTH the per-cluster counts and the
+    # filtered output — without the pin the broadcast-argmin stage (the
+    # dominant n × n_centroids dot-product work) re-executes once per
+    # reference. Narrow rows (id, centroid_id, dist): linear to store.
+    assign = ivf_assign(
+        embeddings,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    ).localCheckpoint(eager=True)
+    sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_n"))
+    cuts = sizes.select(
+        "centroid_id",
+        F.when(F.col("_n") <= target_per_cluster, F.lit("f" * digits + "g"))
+        .otherwise(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.greatest(
+                            F.lit(1),
+                            F.expr(f"{target_per_cluster * space} div _n"),
+                        )
+                    ),
+                    digits,
+                    "0",
+                )
+            )
+        )
+        .alias("_cut"),
+    )
+    prefix = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("centroid_id").cast("string"), F.col("id").cast("string")
+            )
+        ),
+        1,
+        digits,
+    )
+    return (
+        assign.join(cuts, "centroid_id")
+        .filter(prefix < F.col("_cut"))
+        .select(F.col("id").alias(id_col), "centroid_id")
+    )

@@ -679,3 +679,74 @@ def test_semantic_decontaminate_lsh_prefilter(spark):
     # unknown mode rejected
     with pytest.raises(ValueError, match="prefilter"):
         similarity.semantic_decontaminate(train, bench, prefilter="ivf")
+
+
+def test_semantic_dedup_transitive_clusters(spark):
+    # a chain A~B~C where A and C share no bucket-free similarity must
+    # still collapse into ONE cluster; D is an isolated singleton
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (10, [1.0, 0.05, 0.0, 0.0]),
+        (11, [1.0, 0.10, 0.0, 0.0]),
+        (12, [1.0, 0.15, 0.0, 0.0]),
+        (13, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(df, threshold=0.98, nbits=2, bands=2).toPandas()
+    out = out.set_index("vec_id")
+    assert set(out.index) == {10, 11, 12, 13}
+    # chain collapses to min id 10
+    assert out.loc[10, "cluster_id"] == out.loc[11, "cluster_id"] == 10
+    assert out.loc[12, "cluster_id"] == 10
+    # singleton is its own rep
+    assert out.loc[13, "cluster_id"] == 13 and out.loc[13, "is_rep"] == 1
+    # exactly one rep per cluster, and it is the min id
+    reps = out[out.is_rep == 1]
+    assert sorted(reps.index.tolist()) == [10, 13]
+
+
+def test_semantic_dedup_corpus_consistency(spark, emb):
+    pairs = similarity.embedding_near_dups(emb, threshold=0.5).toPandas()
+    out = similarity.semantic_dedup(emb, threshold=0.5).toPandas()
+    assert len(out) == emb.count()
+    cl = dict(zip(out.vec_id, out.cluster_id))
+    # every near-dup pair ends up in the same cluster
+    for a, b in zip(pairs.a, pairs.b):
+        assert cl[a] == cl[b]
+    # cluster id is a member of its own cluster and the minimum
+    import collections
+
+    members = collections.defaultdict(list)
+    for v, c in cl.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+    # rep flag consistent
+    for r in out.itertuples():
+        assert (r.is_rep == 1) == (r.vec_id == r.cluster_id)
+
+
+def test_cluster_balanced_sample_caps_clusters(spark, emb):
+    target = 10
+    kept = similarity.cluster_balanced_sample(emb, target_per_cluster=target).toPandas()
+    assign = similarity.ivf_assign(emb, n_centroids=16).toPandas()
+    sizes = assign.groupby("centroid_id").size()
+    kept_sizes = kept.groupby("centroid_id").size()
+    for cid, n in sizes.items():
+        k = int(kept_sizes.get(cid, 0))
+        if n <= target:
+            # cluster under target: kept whole
+            assert k == n
+        else:
+            # binomial around target: loose bound, never the full cluster
+            assert k < n
+            assert k <= 3 * target
+    # deterministic: second run identical
+    kept2 = similarity.cluster_balanced_sample(emb, target_per_cluster=target).toPandas()
+    assert sorted(kept.vec_id) == sorted(kept2.vec_id)
+
+
+def test_cluster_balanced_sample_keep_all(spark, emb):
+    n = emb.count()
+    kept = similarity.cluster_balanced_sample(emb, target_per_cluster=n)
+    assert kept.count() == n

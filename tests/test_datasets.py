@@ -220,3 +220,82 @@ def test_ngram_containment(spark):
     cand = spark.createDataFrame([(0, 1)], ["a", "b"])
     got = dedup.ngram_containment_pairs(docs, threshold=0.9, candidates=cand).collect()
     assert [(r["a"], r["b"], r["cont_a"], r["cont_b"]) for r in got] == [(0, 1, ca, cb)]
+
+
+def test_temperature_budgets_formula():
+    totals = {"a": 10000, "b": 100}
+    # alpha=1: proportional
+    b1 = ds.temperature_budgets(totals, 1000, alpha=1.0)
+    assert abs(b1["a"] - 1000 * 10000 / 10100) < 1e-9
+    # alpha=0: uniform
+    b0 = ds.temperature_budgets(totals, 1000, alpha=0.0)
+    assert abs(b0["a"] - 500) < 1e-9 and abs(b0["b"] - 500) < 1e-9
+    # alpha=0.5: small source upsampled vs proportional
+    bh = ds.temperature_budgets(totals, 1000, alpha=0.5)
+    assert bh["b"] / (bh["a"] + bh["b"]) > 100 / 10100
+    # budgets always sum to the total
+    assert abs(sum(bh.values()) - 1000) < 1e-9
+    # zero/empty strata dropped
+    assert ds.temperature_budgets({"a": 0}, 1000) == {}
+
+
+def test_temperature_mix(spark):
+    rows = [(i, "tok " * (i % 7 + 3), "big" if i % 10 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = ds.temperature_mix(df, total_budget=300, alpha=0.5, strata_col="source")
+    got = out.groupBy("source").count().toPandas().set_index("source")
+    # both sources represented (temperature flattens the mix)
+    assert set(got.index) == {"big", "small"}
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in ds.temperature_mix(
+            df, total_budget=300, alpha=0.5, strata_col="source"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+    # budget >= corpus: everything kept
+    assert (
+        ds.temperature_mix(df, total_budget=10_000_000, alpha=0.5, strata_col="source").count()
+        == 200
+    )
+
+
+def test_pack_sequences_layout(spark):
+    rows = [(i, "w " * (5 + (i * 7) % 40)) for i in range(100)] + [(100, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ds.pack_sequences(df, seq_tokens=64, n_shards=4).toPandas()
+    # zero-token doc excluded
+    assert 100 not in set(out.doc_id)
+    assert len(out) == 100
+    # shard assignment matches the portable md5 hash
+    import hashlib
+
+    for r in out.itertuples():
+        expect = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 4
+        assert r.shard == expect
+    # offsets are a contiguous stream per shard: reconstruct and check
+    for shard, grp in out.groupby("shard"):
+        grp = grp.copy()
+        grp["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in grp.doc_id
+        ]
+        grp = grp.sort_values(["h", "doc_id"])
+        pos = 0
+        for r in grp.itertuples():
+            assert r.seq_id == pos // 64
+            assert r.seq_offset == pos % 64
+            pos += r.n_tokens
+    # every offset is inside a sequence
+    assert (out.seq_offset < 64).all() and (out.seq_offset >= 0).all()
+
+
+def test_pack_sequences_deterministic(spark):
+    rows = [(i, "alpha beta gamma " * (1 + i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = ds.pack_sequences(df, seq_tokens=32, n_shards=8).toPandas().sort_values("doc_id")
+    b = ds.pack_sequences(df, seq_tokens=32, n_shards=8).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
