@@ -734,6 +734,51 @@ def q_curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_curation_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-batch SemDeDup through the incremental curation state
+    machine: two batches of documents with all-unique synthetic texts
+    (so every text-side stage is provably a no-op) carry the sf
+    embeddings (vec_id < 250 = batch 1, rest = batch 2); semantic dedup
+    at cosine 0.5 (nbits=4, bands=2) runs in-batch for batch 1, then
+    batch 2 dedups against BOTH the persisted emb_buckets/emb_vecs
+    state and itself (no chaining through history-dropped docs). The
+    oracle replays bucketing, cross-batch matching, and both recursive
+    CC closures in SQL — hash-exact including LSH misses."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.format_string(
+            "w%da w%db w%dc w%dd", "vec_id", "vec_id", "vec_id", "vec_id"
+        ).alias("text"),
+    )
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    root = tempfile.mkdtemp(prefix="curation_sem_")
+    try:
+        cp = CurationCheckpoint(spark, root)
+        opts = dict(
+            lm_quantile=0.0,
+            semantic_dedup_threshold=0.5,
+            semantic_nbits=4,
+            semantic_bands=2,
+            embeddings=vecs,
+        )
+        r1 = cp.run(b1, **opts)
+        r2 = cp.run(b2, **opts)
+        out = r1.curated.select("doc_id", F.lit(1).alias("batch")).unionByName(
+            r2.curated.select("doc_id", F.lit(2).alias("batch"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_curation_streaming(spark: SparkSession, sf: str) -> DataFrame:
     """The STREAMING curation layer under the same two-batch policy as
     `curation_incremental`: batch 1 lands as a parquet file and an
@@ -1133,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_kn": q_lm_score_kn,
         "curation_incremental": q_curation_incremental,
         "curation_streaming": q_curation_streaming,
+        "curation_semantic": q_curation_semantic,
         "dedup_containment": q_dedup_containment,
         "semantic_decontam": q_semantic_decontam,
         "semantic_decontam_lsh": q_semantic_decontam_lsh,
@@ -2320,6 +2366,70 @@ WITH e AS (
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
+"""
+    # cross-batch SemDeDup through the curation state machine: batch 1
+    # in-batch closure; batch 2 drops docs matching batch-1 ACCEPTED
+    # embeddings (append-only policy), then closes over the remaining
+    # survivors only (no chaining through history-dropped docs).
+    _cos = (
+        "floor(list_dot_product({l}.v, {r}.v) / (sqrt(list_dot_product({l}.v, {l}.v))"
+        " * sqrt(list_dot_product({r}.v, {r}.v))) * 10000 + 0.5) / 10000"
+    )
+    out["curation_semantic"] = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), bk AS MATERIALIZED (
+  SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
+  UNION ALL
+  SELECT id, v, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
+), b1 AS MATERIALIZED (SELECT * FROM bk WHERE id < 250),
+p1 AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM b1 l JOIN b1 r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+  WHERE {_cos.format(l='l', r='r')} >= 0.5
+),
+sym1 AS (SELECT a, b FROM p1 UNION SELECT b AS a, a AS b FROM p1),
+reach1 AS (
+  SELECT a, b FROM sym1
+  UNION
+  SELECT r.a, s.b FROM reach1 r JOIN sym1 s ON r.b = s.a WHERE s.b <> r.a
+),
+comp1 AS (SELECT a AS id, least(min(b), a) AS cid FROM reach1 GROUP BY a),
+acc1 AS MATERIALIZED (
+  SELECT e.id FROM e LEFT JOIN comp1 c ON e.id = c.id
+  WHERE e.id < 250 AND coalesce(c.cid, e.id) = e.id
+),
+b2 AS MATERIALIZED (SELECT * FROM bk WHERE id >= 250),
+hb AS MATERIALIZED (SELECT b1.* FROM b1 JOIN acc1 ON b1.id = acc1.id),
+xmatch AS MATERIALIZED (
+  SELECT DISTINCT n.id
+  FROM b2 n JOIN hb o ON n.band = o.band AND n.bucket = o.bucket
+  WHERE {_cos.format(l='n', r='o')} >= 0.5
+),
+s2 AS MATERIALIZED (
+  SELECT b2.* FROM b2 LEFT JOIN xmatch x ON b2.id = x.id WHERE x.id IS NULL
+),
+p2 AS MATERIALIZED (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM s2 l JOIN s2 r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+  WHERE {_cos.format(l='l', r='r')} >= 0.5
+),
+sym2 AS (SELECT a, b FROM p2 UNION SELECT b AS a, a AS b FROM p2),
+reach2 AS (
+  SELECT a, b FROM sym2
+  UNION
+  SELECT r.a, s.b FROM reach2 r JOIN sym2 s ON r.b = s.a WHERE s.b <> r.a
+),
+comp2 AS (SELECT a AS id, least(min(b), a) AS cid FROM reach2 GROUP BY a),
+s2ids AS (SELECT DISTINCT id FROM s2),
+acc2 AS (
+  SELECT s.id FROM s2ids s LEFT JOIN comp2 c ON s.id = c.id
+  WHERE coalesce(c.cid, s.id) = s.id
+)
+SELECT id AS doc_id, 1 AS batch FROM acc1
+UNION ALL
+SELECT id AS doc_id, 2 AS batch FROM acc2
 """
     # SemDeDup action: the embedding_near_dups pair replay + recursive
     # transitive closure (the dedup_clusters shape) + min-id rep flag.

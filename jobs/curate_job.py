@@ -67,6 +67,16 @@ def main() -> None:
     )
     ap.add_argument("--semantic-threshold", type=float, default=0.95)
     ap.add_argument(
+        "--semantic-dedup-threshold",
+        type=float,
+        default=None,
+        help="enable SemDeDup-style embedding-space dedup at this cosine "
+        "threshold (cross-batch against the emb_buckets/emb_vecs state "
+        "when --checkpoint is set). Requires --embeddings.",
+    )
+    ap.add_argument("--semantic-nbits", type=int, default=4)
+    ap.add_argument("--semantic-bands", type=int, default=2)
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the batch commits, merge all state batch directories "
@@ -102,6 +112,9 @@ def main() -> None:
         semantic_bench=semantic_bench,
         embeddings=embeddings,
         semantic_threshold=args.semantic_threshold,
+        semantic_dedup_threshold=args.semantic_dedup_threshold,
+        semantic_nbits=args.semantic_nbits,
+        semantic_bands=args.semantic_bands,
     )
     if args.checkpoint:
         cp = CurationCheckpoint(spark, args.checkpoint)

@@ -101,6 +101,112 @@ def _apply_semantic_decontam(
     return out
 
 
+def _semantic_dedup_stage(
+    survivors: DataFrame,
+    metrics: dict,
+    *,
+    embeddings: DataFrame | None,
+    threshold: float,
+    nbits: int,
+    bands: int,
+    id_col: str,
+    old_buckets: DataFrame | None = None,
+    old_vecs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Embedding-space (SemDeDup-style) dedup stage shared by the
+    one-shot and incremental pipelines. In-batch: LSH-bucketed candidate
+    pairs → exact cosine >= `threshold` → connected components → the
+    min-id doc survives. Cross-batch (when the persisted `emb_buckets` /
+    `emb_vecs` state is passed): a new doc within `threshold` of ANY
+    historically accepted embedding is dropped outright and the
+    historical doc stays canonical — the same append-only,
+    no-chaining-through-dropped-docs policy as the text near-dup stage.
+
+    Documents with no row in `embeddings` pass through as singletons
+    (no evidence either way — mirroring the LM filter's null-score
+    rule). Returns (surviving reps, batch bucket table, batch vector
+    table); the caller appends the latter two (filtered to accepted
+    ids) to the persisted state."""
+    from .operators.similarity import cosine
+    from .utils import round4
+
+    if embeddings is None:
+        raise ValueError(
+            "semantic dedup requires an embeddings DataFrame "
+            f"({id_col}, embedding) covering the corpus"
+        )
+    vecs = (
+        embeddings.join(survivors.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)  # referenced by cross-score, pair
+        # score, and the state append — narrow (id, vector) rows
+    )
+    eb = similarity.lsh_bucket_table(
+        vecs, nbits, bands, id_col, "embedding"
+    ).localCheckpoint(eager=True)
+    if old_buckets is not None and old_vecs is not None:
+        cand = (
+            eb.select("band", "bucket", F.col("id").alias("new_id"))
+            .join(
+                old_buckets.select(
+                    "band", "bucket", F.col("doc_id").alias("old_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        sc = cand.join(
+            vecs.select(F.col(id_col).alias("new_id"), F.col("embedding").alias("_nv")),
+            "new_id",
+        ).join(
+            old_vecs.select(
+                F.col("doc_id").alias("old_id"), F.col("embedding").alias("_ov")
+            ),
+            "old_id",
+        )
+        matched = (
+            sc.filter(round4(cosine(F.col("_nv"), F.col("_ov"))) >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = survivors.join(matched, id_col, "left_anti")
+    # in-batch pairs among the REMAINING survivors only: a history-
+    # matched doc must not chain its in-batch neighbours away with it
+    sids = survivors.select(F.col(id_col).alias("id"))
+    sb = eb.join(sids, "id", "left_semi")
+    pairs = (
+        sb.select("band", "bucket", F.col("id").alias("a"))
+        .join(sb.select("band", "bucket", F.col("id").alias("b")), ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        pairs.join(
+            vecs.select(F.col(id_col).alias("a"), F.col("embedding").alias("_va")),
+            "a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("b"), F.col("embedding").alias("_vb")),
+            "b",
+        )
+        .filter(round4(cosine(F.col("_va"), F.col("_vb"))) >= threshold)
+        .select("a", "b")
+    )
+    clusters = dedup.near_dup_clusters(survivors.select(id_col), verified, id_col)
+    reps = survivors.join(
+        clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col),
+        id_col,
+        "left_semi",
+    ).cache()
+    metrics["n_after_semantic_dedup"] = reps.count()
+    return reps, eb, vecs
+
+
 def curate_corpus(
     docs: DataFrame,
     bench: DataFrame | None = None,
@@ -118,6 +224,9 @@ def curate_corpus(
     semantic_bench: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
+    semantic_dedup_threshold: float | None = None,
+    semantic_nbits: int = 4,
+    semantic_bands: int = 2,
 ) -> CurationResult:
     """Run the full curation pipeline over `docs`.
 
@@ -127,6 +236,9 @@ def curate_corpus(
     - chunk dedup (when `chunk_dedup`): survivors are rewritten without
       corpus-duplicated `chunk_tokens`-token spans (dedup.dedup_chunks);
       documents emptied to pure boilerplate are dropped.
+    - semantic dedup (when `semantic_dedup_threshold` given, requires
+      `embeddings`): SemDeDup-style embedding-space near-dup clustering
+      at the given cosine threshold; one doc per cluster survives.
     - decontamination (when `bench` given): any doc sharing a
       `decontam_n`-gram with the benchmark set is dropped.
     - semantic decontamination (when `semantic_bench` given, requires
@@ -169,6 +281,17 @@ def curate_corpus(
     if chunk_dedup:
         reps = _apply_chunk_dedup(
             reps, metrics, chunk_tokens=chunk_tokens, id_col=id_col, text_col=text_col
+        )
+
+    if semantic_dedup_threshold is not None:
+        reps, _, _ = _semantic_dedup_stage(
+            reps,
+            metrics,
+            embeddings=embeddings,
+            threshold=semantic_dedup_threshold,
+            nbits=semantic_nbits,
+            bands=semantic_bands,
+            id_col=id_col,
         )
 
     clean = reps
@@ -242,6 +365,12 @@ class CurationCheckpoint:
       the accepted reps. A new batch's buckets equi-join against it, so
       cross-batch candidate generation never rescans or re-hashes the
       historical corpus — the state IS the index.
+    - `emb_buckets` (doc_id, band, bucket) / `emb_vecs` (doc_id,
+      embedding) — the embedding-space twin of buckets/reps (present
+      when semantic dedup is enabled): the hyperplane-LSH bucket index
+      and double-cast vectors of every accepted doc, so a new batch's
+      embedding-space dedup against all of history is a (band, bucket)
+      equi-join + exact-cosine verify, never a rescan.
     - `lm_bigrams` / `lm_unigrams` — the persisted bigram LM (trained on
       the first batch's survivors, reusable so later batches are scored
       against a STABLE reference distribution); its vocab size is stored
@@ -315,6 +444,8 @@ class CurationCheckpoint:
         self.p_reps = os.path.join(root, "reps")
         self.p_buckets = os.path.join(root, "buckets")
         self.p_chunks = os.path.join(root, "chunk_hashes")
+        self.p_emb_buckets = os.path.join(root, "emb_buckets")
+        self.p_emb_vecs = os.path.join(root, "emb_vecs")
         self.p_lm_big = os.path.join(root, "lm_bigrams")
         self.p_lm_uni = os.path.join(root, "lm_unigrams")
         self.p_meta = os.path.join(root, "meta.json")
@@ -477,7 +608,15 @@ class CurationCheckpoint:
         if len(active) <= 1:
             return len(active)
         cid = f"compact-{self._next_seq()}"
-        for path in (self.p_hashes, self.p_reps, self.p_buckets, self.p_chunks):
+        tables = (
+            self.p_hashes,
+            self.p_reps,
+            self.p_buckets,
+            self.p_chunks,
+            self.p_emb_buckets,
+            self.p_emb_vecs,
+        )
+        for path in tables:
             merged = self._table(path)
             if merged is None:
                 continue
@@ -487,7 +626,7 @@ class CurationCheckpoint:
                 self._batch_dir(path, cid)
             )
         self._publish([cid], self._read_manifest().get("history", []))
-        for path in (self.p_hashes, self.p_reps, self.p_buckets, self.p_chunks):
+        for path in tables:
             for bid in active:
                 stale = self._batch_dir(path, bid)
                 if os.path.isdir(stale):
@@ -546,6 +685,9 @@ class CurationCheckpoint:
         semantic_bench: DataFrame | None = None,
         embeddings: DataFrame | None = None,
         semantic_threshold: float = 0.95,
+        semantic_dedup_threshold: float | None = None,
+        semantic_nbits: int = 4,
+        semantic_bands: int = 2,
     ) -> CurationResult:
         """Curate one batch against all previously accepted state.
         doc ids must be globally unique across batches (they key the
@@ -558,7 +700,14 @@ class CurationCheckpoint:
         documents are not near-dups. Ownership is seen-based like
         text_hashes (a chunk stays claimed even if its carrier doc is
         later filtered out — the alternative, claiming only accepted
-        chunks, would re-chunk rewritten text at shifted boundaries)."""
+        chunks, would re-chunk rewritten text at shifted boundaries).
+
+        With `semantic_dedup_threshold`, embedding-space dedup is also
+        CROSS-BATCH: the emb_buckets/emb_vecs state indexes every
+        accepted doc's embedding, a new doc within the cosine threshold
+        of ANY of them is dropped (historical doc stays canonical), and
+        in-batch clustering applies the same no-chaining policy as the
+        text near-dup stage."""
         meta = self._check_meta(
             {
                 "num_hashes": num_hashes,
@@ -568,6 +717,9 @@ class CurationCheckpoint:
                 "k_shingle": 3,
                 "chunk_dedup": chunk_dedup,
                 "chunk_tokens": chunk_tokens,
+                "semantic_dedup_threshold": semantic_dedup_threshold,
+                "semantic_nbits": semantic_nbits,
+                "semantic_bands": semantic_bands,
             }
         )
         # normalize the id column: the dedup/LSH operators and the
@@ -737,6 +889,22 @@ class CurationCheckpoint:
             if claimed is not None:
                 new_chunks = new_chunks.join(claimed, "ch", "left_anti")
 
+        # 2c. embedding-space dedup — cross-batch: the persisted
+        # emb_buckets/emb_vecs state indexes every accepted embedding
+        new_eb = new_ev = None
+        if semantic_dedup_threshold is not None:
+            reps, new_eb, new_ev = _semantic_dedup_stage(
+                reps,
+                metrics,
+                embeddings=embeddings,
+                threshold=semantic_dedup_threshold,
+                nbits=semantic_nbits,
+                bands=semantic_bands,
+                id_col=id_col,
+                old_buckets=self._table(self.p_emb_buckets),
+                old_vecs=self._table(self.p_emb_vecs),
+            )
+
         # 3. decontamination (stateless vs the benchmark set)
         clean = reps
         if bench is not None:
@@ -843,6 +1011,21 @@ class CurationCheckpoint:
             # committed chunk state under the same root being written
             new_chunks.localCheckpoint(eager=True).write.mode("overwrite").parquet(
                 self._batch_dir(self.p_chunks, batch_id)
+            )
+        if new_eb is not None and new_ev is not None:
+            # embedding index of the batch's ACCEPTED docs only (both
+            # tables are localCheckpoint-pinned inside the stage, so the
+            # writes cannot lazily re-read state under this root)
+            acc_ids = accepted.select(F.col(id_col).alias("id"))
+            new_eb.join(acc_ids, "id", "left_semi").select(
+                F.col("id").alias("doc_id"), "band", "bucket"
+            ).write.mode("overwrite").parquet(
+                self._batch_dir(self.p_emb_buckets, batch_id)
+            )
+            new_ev.join(
+                acc_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+            ).write.mode("overwrite").parquet(
+                self._batch_dir(self.p_emb_vecs, batch_id)
             )
         self._commit(batch_id, metrics)
         if out_id != "doc_id":

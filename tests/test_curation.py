@@ -456,3 +456,91 @@ def test_checkpoint_semantic_decontam(spark, tmp_path):
             lm_quantile=0.0,
             semantic_bench=semantic_bench,
         )
+
+
+def test_curate_corpus_semantic_dedup(spark):
+    """SemDeDup stage in the one-shot pipeline: embedding clones
+    collapse to their min-id doc even when the texts share nothing."""
+    from neosemantics_spark.curation import curate_corpus
+
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    a2 = [2.0] + [0.0] * (dim - 1)  # cosine exactly 1.0 with a
+    b = [0.0, 1.0] + [0.0] * (dim - 2)
+    docs = spark.createDataFrame(
+        [(1, _block("one")), (2, _block("two")), (3, _block("three"))],
+        ["doc_id", "text"],
+    )
+    embeddings = spark.createDataFrame(
+        [(1, a), (2, a2), (3, b)], ["doc_id", "embedding"]
+    )
+    res = curate_corpus(
+        docs,
+        lm_quantile=0.0,
+        semantic_dedup_threshold=0.95,
+        embeddings=embeddings,
+    )
+    assert res.metrics["n_after_semantic_dedup"] == 2
+    assert {r["doc_id"] for r in res.curated.collect()} == {1, 3}
+    # missing embeddings is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(docs, lm_quantile=0.0, semantic_dedup_threshold=0.95)
+
+
+def test_checkpoint_cross_batch_semantic_dedup(spark, tmp_path):
+    """Embedding-space dedup against the persisted emb state: a later
+    batch's doc at the SAME embedding direction as an accepted doc is
+    dropped though the texts are unrelated; the no-chaining policy and
+    compaction both hold."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    a_clone = [3.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)
+    b_clone = [0.0, 2.0] + [0.0] * (dim - 2)
+    c = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame([(1, _block("first"))], ["doc_id", "text"])
+    e1 = spark.createDataFrame([(1, a)], ["doc_id", "embedding"])
+    r1 = cp.run(b1, lm_quantile=0.0, semantic_dedup_threshold=0.95, embeddings=e1)
+    assert r1.metrics["n_after_semantic_dedup"] == 1
+
+    # batch 2: 100 clones accepted doc 1 (dropped cross-batch); 101/102
+    # are in-batch clones of each other (min id 101 survives); 103 is a
+    # doc with NO embedding row (passes through as a singleton)
+    b2 = spark.createDataFrame(
+        [(100, _block("alpha")), (101, _block("beta")), (102, _block("gamma")),
+         (103, _block("delta"))],
+        ["doc_id", "text"],
+    )
+    e2 = spark.createDataFrame(
+        [(100, a_clone), (101, b), (102, b_clone)], ["doc_id", "embedding"]
+    )
+    r2 = cp.run(b2, lm_quantile=0.0, semantic_dedup_threshold=0.95, embeddings=e2)
+    assert r2.metrics["n_after_semantic_dedup"] == 2
+    assert {r["doc_id"] for r in r2.curated.collect()} == {101, 103}
+
+    # parameter drift (disabling semantic dedup) is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parameter"):
+        cp.run(b2, lm_quantile=0.0)
+
+    # compaction preserves the embedding state: a batch-3 clone of the
+    # batch-2 accepted direction is still dropped afterwards
+    cp.compact()
+    b3 = spark.createDataFrame(
+        [(200, _block("third")), (201, _block("fourth"))], ["doc_id", "text"]
+    )
+    e3 = spark.createDataFrame(
+        [(200, b_clone), (201, c)], ["doc_id", "embedding"]
+    )
+    r3 = cp.run(b3, lm_quantile=0.0, semantic_dedup_threshold=0.95, embeddings=e3)
+    assert {r["doc_id"] for r in r3.curated.collect()} == {201}
+    # ledger carries the stage metric
+    hist = dict(cp.history())
+    assert hist[r3.metrics["batch_id"]]["n_after_semantic_dedup"] == 1
