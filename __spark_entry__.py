@@ -598,6 +598,22 @@ def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Multinomial NB document classifier (the deterministic analogue
+    of the fastText quality/source classifier): trained on even-id
+    documents with their language as the label, scoring the odd-id
+    half — (doc_id, predicted, score) with score the winning mean token
+    log-likelihood + log-prior. Count-table model: two groupBys to
+    train, narrow equi-joins to score, exactly SQL-replayable."""
+    from neosemantics_spark.operators import classify
+
+    docs = _docs(spark, sf)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    model = classify.train_nb(train, "lang")
+    return classify.nb_score(test, model).select("doc_id", "predicted", "score")
+
+
 def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-based source mixing at alpha=0.5 over the language
     strata: per-stratum budgets ∝ sqrt(stratum token total), scaled to
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam_lsh": q_semantic_decontam_lsh,
         "token_budget_sample": q_token_budget_sample,
         "temperature_mix": q_temperature_mix,
+        "nb_classify": q_nb_classify,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
         "cluster_sample": q_cluster_sample,
@@ -2137,6 +2154,60 @@ SELECT doc_id, lang FROM pfx
 WHERE (lang = 'en' AND (6000 >= tot OR p < printf('%04x', CAST(greatest(1, floor(6000 / tot * 65536)) AS BIGINT))))
    OR (lang = 'de' AND (2500 >= tot OR p < printf('%04x', CAST(greatest(1, floor(2500 / tot * 65536)) AS BIGINT))))
    OR (lang = 'zh' AND (1000000 >= tot OR p < printf('%04x', CAST(greatest(1, floor(1000000 / tot * 65536)) AS BIGINT))))
+"""
+    # multinomial NB replay: count tables from the even-id train half,
+    # add-1 smoothed mean log-likelihood + log-prior per (doc, class),
+    # arg-max with lexicographic tie-break. Zero-token docs (none at
+    # this sf, but the branch is replayed) get the prior-only decision.
+    out["nb_classify"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                            t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+), lik AS MATERIALIZED (
+  SELECT token, lang AS label, count(*) AS cnt FROM tok GROUP BY 1, 2
+), cls AS MATERIALIZED (
+  SELECT d.lang AS label, count(*) AS n_docs, coalesce(t.n_tokens, 0) AS n_tokens
+  FROM (SELECT lang, count(*) AS cnt FROM documents WHERE doc_id % 2 = 0 GROUP BY lang) x
+  JOIN documents d ON d.lang = x.lang AND d.doc_id % 2 = 0
+  LEFT JOIN (SELECT lang, count(*) AS n_tokens FROM tok GROUP BY lang) t ON t.lang = d.lang
+  GROUP BY d.lang, t.n_tokens
+), vb AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM tok),
+   nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents WHERE doc_id % 2 = 0),
+   tt AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                            t -> t <> '')) AS token
+  FROM documents WHERE doc_id % 2 = 1
+), sc AS (
+  SELECT t.doc_id, c.label,
+         ln(c.n_docs / nd.n)
+           + avg(ln((coalesce(l.cnt, 0) + 1.0) / (c.n_tokens + vb.v))) AS score
+  FROM tt t
+  CROSS JOIN cls c CROSS JOIN vb CROSS JOIN nd
+  LEFT JOIN lik l ON l.token = t.token AND l.label = c.label
+  GROUP BY t.doc_id, c.label, c.n_docs, c.n_tokens, nd.n, vb.v
+), best AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM sc
+), emptydoc AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 2 = 1
+    AND len(list_filter(string_split(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                        t -> t <> '')) = 0
+), eb AS (
+  SELECT e.doc_id, c.label, ln(c.n_docs / nd.n) AS score,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY ln(c.n_docs / nd.n) DESC, c.label ASC) AS rn
+  FROM emptydoc e CROSS JOIN cls c CROSS JOIN nd
+)
+SELECT doc_id, label AS predicted,
+       floor(score * 10000 + 0.5) / 10000 AS score
+FROM (SELECT doc_id, label, score FROM best WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, label, score FROM eb WHERE rn = 1)
 """
     # temperature mixing: replay the alpha=0.5 budget formula (sqrt is
     # IEEE-correctly-rounded — bit-identical across engines) and the
