@@ -750,3 +750,28 @@ def test_cluster_balanced_sample_keep_all(spark, emb):
     n = emb.count()
     kept = similarity.cluster_balanced_sample(emb, target_per_cluster=n)
     assert kept.count() == n
+
+
+def test_ivf_assign_numpy_matches_expr(spark, emb):
+    for k_c, ak in ((16, 1), (16, 3), (45, 2)):
+        cents = similarity.ivf_centroids(emb, k_c).localCheckpoint(eager=True)
+        a = similarity.ivf_assign(
+            emb, centroids=cents, assign_k=ak, method="expr"
+        ).toPandas()
+        b = similarity.ivf_assign(
+            emb, centroids=cents, assign_k=ak, method="numpy"
+        ).toPandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"mismatch at n_centroids={k_c}, assign_k={ak}"
+
+
+def test_ivf_assign_auto_dispatch(spark, emb):
+    # auto at 16 centroids keeps the oracle-replayable expr plan (no
+    # mapInPandas in the physical plan); a large centroid table flips
+    # to the Arrow-batched numpy stage
+    small = similarity.ivf_assign(emb, n_centroids=16, method="auto")
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    big = similarity.ivf_assign(emb, n_centroids=80, method="auto")
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
