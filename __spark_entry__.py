@@ -2422,18 +2422,19 @@ SELECT vec_id, max(cos) AS max_bench_cosine, CAST(count(*) AS BIGINT) AS n_bench
 FROM sc WHERE cos >= 0.35 GROUP BY vec_id
 """
     out["embedding_near_dups"] = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), e AS (
+  SELECT id, v, list_transform(v, x -> x / nrm) AS nv
+  FROM (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0)
 ), b AS (
-  SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
+  SELECT id, nv, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
   UNION ALL
-  SELECT id, v, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
+  SELECT id, nv, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
 ), s AS (
   SELECT DISTINCT l.id AS a, r.id AS b,
-         floor(list_dot_product(l.v, r.v)
-               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
-               * 10000 + 0.5) / 10000 AS score
+         floor(list_dot_product(l.nv, r.nv) * 10000 + 0.5) / 10000 AS score
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
@@ -2442,14 +2443,18 @@ SELECT a, b, score FROM s WHERE score >= 0.5
     # in-batch closure; batch 2 drops docs matching batch-1 ACCEPTED
     # embeddings (append-only policy), then closes over the remaining
     # survivors only (no chaining through history-dropped docs).
-    _cos = (
-        "floor(list_dot_product({l}.v, {r}.v) / (sqrt(list_dot_product({l}.v, {l}.v))"
-        " * sqrt(list_dot_product({r}.v, {r}.v))) * 10000 + 0.5) / 10000"
-    )
+    # the stage normalizes ONCE (unit_vectors) and buckets the
+    # normalized vectors; the replay mirrors both (bucket signs can
+    # differ between raw and normalized only on exact hyperplane
+    # boundaries, so the formula must match bit-for-bit)
+    _cos = "floor(list_dot_product({l}.v, {r}.v) * 10000 + 0.5) / 10000"
     out["curation_semantic"] = f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e0 AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), e AS (
+  SELECT id, list_transform(v, x -> x / nrm) AS v
+  FROM (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0)
 ), bk AS MATERIALIZED (
   SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
   UNION ALL
@@ -2505,18 +2510,19 @@ SELECT id AS doc_id, 2 AS batch FROM acc2
     # SemDeDup action: the embedding_near_dups pair replay + recursive
     # transitive closure (the dedup_clusters shape) + min-id rep flag.
     out["semantic_dedup"] = f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e0 AS (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), e AS (
+  SELECT id, v, list_transform(v, x -> x / nrm) AS nv
+  FROM (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e0)
 ), b AS MATERIALIZED (
-  SELECT id, v, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
+  SELECT id, nv, 0 AS band, {_lsh_bucket_sql('v', 4, band=0)} AS bucket FROM e
   UNION ALL
-  SELECT id, v, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
+  SELECT id, nv, 1 AS band, {_lsh_bucket_sql('v', 4, band=1)} AS bucket FROM e
 ), s AS MATERIALIZED (
   SELECT DISTINCT l.id AS a, r.id AS b,
-         floor(list_dot_product(l.v, r.v)
-               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
-               * 10000 + 0.5) / 10000 AS score
+         floor(list_dot_product(l.nv, r.nv) * 10000 + 0.5) / 10000 AS score
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 ), pr AS (SELECT a, b FROM s WHERE score >= 0.5),
 sym AS (SELECT a, b FROM pr UNION SELECT b AS a, a AS b FROM pr),

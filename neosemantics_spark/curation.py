@@ -126,8 +126,11 @@ def _semantic_dedup_stage(
     (no evidence either way — mirroring the LM filter's null-score
     rule). Returns (surviving reps, batch bucket table, batch vector
     table); the caller appends the latter two (filtered to accepted
-    ids) to the persisted state."""
-    from .operators.similarity import cosine
+    ids) to the persisted state. Vectors are L2-normalized ONCE in the
+    batch scan (and the emb_vecs state therefore stores UNIT vectors),
+    so every cross-batch and in-batch pair score is a single dot
+    product — never a per-pair norm recomputation."""
+    from .operators.similarity import dot_product, unit_vectors
     from .utils import round4
 
     if embeddings is None:
@@ -136,11 +139,12 @@ def _semantic_dedup_stage(
             f"({id_col}, embedding) covering the corpus"
         )
     vecs = (
-        embeddings.join(survivors.select(id_col), id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        unit_vectors(
+            embeddings.join(survivors.select(id_col), id_col, "left_semi"),
+            id_col,
+            "embedding",
         )
+        .select(F.col("id").alias(id_col), F.col("v").alias("embedding"))
         .localCheckpoint(eager=True)  # referenced by cross-score, pair
         # score, and the state append — narrow (id, vector) rows
     )
@@ -169,7 +173,7 @@ def _semantic_dedup_stage(
             "old_id",
         )
         matched = (
-            sc.filter(round4(cosine(F.col("_nv"), F.col("_ov"))) >= threshold)
+            sc.filter(round4(dot_product(F.col("_nv"), F.col("_ov"))) >= threshold)
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
@@ -194,7 +198,7 @@ def _semantic_dedup_stage(
             vecs.select(F.col(id_col).alias("b"), F.col("embedding").alias("_vb")),
             "b",
         )
-        .filter(round4(cosine(F.col("_va"), F.col("_vb"))) >= threshold)
+        .filter(round4(dot_product(F.col("_va"), F.col("_vb"))) >= threshold)
         .select("a", "b")
     )
     clusters = dedup.near_dup_clusters(survivors.select(id_col), verified, id_col)

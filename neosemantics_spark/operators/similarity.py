@@ -38,6 +38,38 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Plain in-row dot product (left-fold sum — the engine-portable
+    evaluation order every oracle replays with list_dot_product)."""
+    return _dot(a, b)
+
+
+def unit_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v): double-cast, L2-normalized vectors — normalize ONCE so
+    pair scoring downstream is a plain dot product. In a pair-scoring
+    stage every vector is touched once per CANDIDATE PAIR; computing
+    cosine there re-derives both norms per pair (~3× the arithmetic,
+    ~99× redundant per vector on clone-heavy corpora), while
+    normalizing in the corpus scan does each vector exactly once.
+
+    The norm is materialized in its OWN projection before the
+    per-element divide — Catalyst does no CSE through lambda HOFs, so
+    an inlined norm would re-evaluate the full sum-of-squares PER
+    ELEMENT (the tokenizer lesson, BASELINE.md). Zero vectors divide to
+    NaN and never clear a cosine threshold — the same behavior as
+    cosine()'s 0/0."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v0"),
+        )
+        .select("id", "v0", _norm(F.col("v0")).alias("_n"))
+        .select("id", F.transform("v0", lambda x: x / F.col("_n")).alias("v"))
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -845,16 +877,20 @@ def embedding_near_dups(
     # measured at sf0.1 this beats a posexplode'd codegen dot product —
     # the 16M-row (pairs × dims) explode shuffle costs more than the
     # interpreted per-element lambda, and the in-row form keeps the
-    # float-sum order identical to the oracle's list_dot_product
-    vecs = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    # float-sum order identical to the oracle's list_dot_product.
+    # Vectors are L2-normalized ONCE in the corpus scan (unit_vectors)
+    # so the per-pair work is a single dot product — on the 200k-vector
+    # clone-clique stress (9.9M pairs, each vector in ~99 pairs) this
+    # cut the pair stage 84.5 → 56.1 s; the residual is the candidate
+    # join/distinct plus one interpreted 64-dim dot per pair (a numpy
+    # pair-scoring path would trade that against shipping 2×64 doubles
+    # per pair through Arrow — not obviously a win, unmeasured)
+    vecs = unit_vectors(embeddings, id_col, vec_col)
     pv = pairs.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a").join(
         vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b"
     )
     return pv.select(
-        "a", "b", round4(cosine(F.col("va"), F.col("vb"))).alias("score")
+        "a", "b", round4(_dot(F.col("va"), F.col("vb"))).alias("score")
     ).filter(F.col("score") >= threshold)
 
 
