@@ -77,6 +77,13 @@ def main() -> None:
     ap.add_argument("--semantic-nbits", type=int, default=4)
     ap.add_argument("--semantic-bands", type=int, default=2)
     ap.add_argument(
+        "--nb-model",
+        default=None,
+        help="directory of a persisted NB classifier (classify.save_nb); "
+        "survivors not predicted as --nb-keep-label are dropped",
+    )
+    ap.add_argument("--nb-keep-label", default=None)
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the batch commits, merge all state batch directories "
@@ -116,6 +123,11 @@ def main() -> None:
         semantic_nbits=args.semantic_nbits,
         semantic_bands=args.semantic_bands,
     )
+    if args.nb_model:
+        from neosemantics_spark.operators import classify
+
+        opts["nb_model"] = classify.load_nb(spark, args.nb_model)
+        opts["nb_keep_label"] = args.nb_keep_label
     if args.checkpoint:
         cp = CurationCheckpoint(spark, args.checkpoint)
         res = cp.run(docs, bench, **opts)

@@ -211,6 +211,32 @@ def _semantic_dedup_stage(
     return reps, eb, vecs
 
 
+def _apply_nb_filter(
+    docs: DataFrame,
+    metrics: dict,
+    *,
+    nb_model,
+    nb_keep_label: str,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Classifier-filter stage: score every survivor with a TRAINED NB
+    model (`operators/classify.py` — in production a model fit on
+    labeled quality/domain data, the fastText-classifier role) and keep
+    only documents predicted as `nb_keep_label`. Deliberately takes a
+    trained model, not labels: the curated corpus itself has no labels,
+    and training inside the pipeline would make the filter drift with
+    every batch — the same stable-reference argument as the persisted
+    LM."""
+    from .operators import classify
+
+    scored = classify.nb_score(docs, nb_model, id_col=id_col, text_col=text_col)
+    keep = scored.filter(F.col("predicted") == nb_keep_label).select(id_col)
+    out = docs.join(keep, id_col, "left_semi").cache()
+    metrics["n_after_nb_filter"] = out.count()
+    return out
+
+
 def curate_corpus(
     docs: DataFrame,
     bench: DataFrame | None = None,
@@ -231,6 +257,8 @@ def curate_corpus(
     semantic_dedup_threshold: float | None = None,
     semantic_nbits: int = 4,
     semantic_bands: int = 2,
+    nb_model=None,
+    nb_keep_label: str | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over `docs`.
 
@@ -316,6 +344,18 @@ def curate_corpus(
             embeddings=embeddings,
             threshold=semantic_threshold,
             id_col=id_col,
+        )
+
+    if nb_model is not None:
+        if nb_keep_label is None:
+            raise ValueError("nb_model requires nb_keep_label")
+        clean = _apply_nb_filter(
+            clean,
+            metrics,
+            nb_model=nb_model,
+            nb_keep_label=nb_keep_label,
+            id_col=id_col,
+            text_col=text_col,
         )
 
     model = lm.train_bigram_lm(clean, id_col, text_col)
@@ -692,6 +732,8 @@ class CurationCheckpoint:
         semantic_dedup_threshold: float | None = None,
         semantic_nbits: int = 4,
         semantic_bands: int = 2,
+        nb_model=None,
+        nb_keep_label: str | None = None,
     ) -> CurationResult:
         """Curate one batch against all previously accepted state.
         doc ids must be globally unique across batches (they key the
@@ -930,6 +972,20 @@ class CurationCheckpoint:
                 embeddings=embeddings,
                 threshold=semantic_threshold,
                 id_col=id_col,
+            )
+
+        # 3c. classifier filter (externally trained NB model — a stable
+        # reference by construction, like the persisted LM)
+        if nb_model is not None:
+            if nb_keep_label is None:
+                raise ValueError("nb_model requires nb_keep_label")
+            clean = _apply_nb_filter(
+                clean,
+                metrics,
+                nb_model=nb_model,
+                nb_keep_label=nb_keep_label,
+                id_col=id_col,
+                text_col=text_col,
             )
 
         # 4. LM filter against the persisted reference model (trained on

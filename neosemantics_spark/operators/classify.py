@@ -81,6 +81,47 @@ def train_nb(
     return NBModel(classes, likelihoods, vocab_size, n_docs, alpha)
 
 
+def save_nb(model: NBModel, path: str) -> None:
+    """Persist the count-table model: two parquet directories + a
+    meta.json with the scalars — the same layout discipline as the
+    persisted LM (`CurationCheckpoint`) and BM25 index. Write-once
+    (overwrite replaces atomically enough for a model artifact — the
+    curation state's snapshot protocol is for INCREMENTAL tables; a
+    model is re-trained, not appended)."""
+    import json
+    import os
+
+    model.classes.write.mode("overwrite").parquet(os.path.join(path, "classes"))
+    model.likelihoods.write.mode("overwrite").parquet(
+        os.path.join(path, "likelihoods")
+    )
+    meta = {
+        "vocab_size": model.vocab_size,
+        "n_docs": model.n_docs,
+        "alpha": model.alpha,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, os.path.join(path, "meta.json"))
+
+
+def load_nb(spark, path: str) -> NBModel:
+    """Load a model persisted by `save_nb`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return NBModel(
+        spark.read.parquet(os.path.join(path, "classes")),
+        spark.read.parquet(os.path.join(path, "likelihoods")),
+        int(meta["vocab_size"]),
+        int(meta["n_docs"]),
+        float(meta["alpha"]),
+    )
+
+
 def nb_score(
     docs: DataFrame,
     model: NBModel,

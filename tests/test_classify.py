@@ -66,3 +66,50 @@ def test_nb_oov_finite(spark, model_and_docs):
     docs = spark.createDataFrame([(30, "zzz qqq unseen")], ["doc_id", "text"])
     [r] = classify.nb_score(docs, model).collect()
     assert math.isfinite(r["score"])
+
+
+def test_save_load_roundtrip(spark, model_and_docs, tmp_path):
+    model, _ = model_and_docs
+    path = str(tmp_path / "nb_model")
+    classify.save_nb(model, path)
+    loaded = classify.load_nb(spark, path)
+    assert loaded.vocab_size == model.vocab_size
+    assert loaded.n_docs == model.n_docs and loaded.alpha == model.alpha
+    docs = spark.createDataFrame(
+        [(40, "good fine"), (41, "buy now now")], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, classify.nb_score(docs, model).collect()))
+    b = sorted(map(tuple, classify.nb_score(docs, loaded).collect()))
+    assert a == b
+
+
+def test_curate_corpus_nb_filter(spark, tmp_path):
+    """Classifier-filter stage: docs predicted as the junk class are
+    dropped; nb_model without nb_keep_label is a loud error."""
+    import pytest as _pytest
+
+    from neosemantics_spark.curation import curate_corpus
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta words fine prose", "good"),
+            (2, "epsilon zeta eta theta normal text here", "good"),
+            (3, "zzz zzz zzz spam spam spam", "junk"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    model = classify.train_nb(labeled, "label")
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta words fine prose gamma delta here"),
+            (11, "spam spam zzz zzz spam zzz"),
+        ],
+        ["doc_id", "text"],
+    )
+    res = curate_corpus(
+        docs, lm_quantile=0.0, nb_model=model, nb_keep_label="good"
+    )
+    assert res.metrics["n_after_nb_filter"] == 1
+    assert {r["doc_id"] for r in res.curated.collect()} == {10}
+    with _pytest.raises(ValueError, match="nb_keep_label"):
+        curate_corpus(docs, lm_quantile=0.0, nb_model=model)

@@ -544,3 +544,31 @@ def test_checkpoint_cross_batch_semantic_dedup(spark, tmp_path):
     # ledger carries the stage metric
     hist = dict(cp.history())
     assert hist[r3.metrics["batch_id"]]["n_after_semantic_dedup"] == 1
+
+
+def test_checkpoint_nb_filter(spark, tmp_path):
+    """The classifier filter through the incremental path: junk-class
+    docs are dropped and the stage metric lands in the ledger."""
+    from neosemantics_spark.curation import CurationCheckpoint
+    from neosemantics_spark.operators import classify
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta fine prose words", "good"),
+            (2, "zzz zzz spam spam zzz spam", "junk"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    model = classify.train_nb(labeled, "label")
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma fine prose delta words here"),
+            (11, "spam zzz spam zzz zzz spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = cp.run(batch, lm_quantile=0.0, nb_model=model, nb_keep_label="good")
+    assert r.metrics["n_after_nb_filter"] == 1
+    assert {x["doc_id"] for x in r.curated.collect()} == {10}
+    assert dict(cp.history())[r.metrics["batch_id"]]["n_after_nb_filter"] == 1
