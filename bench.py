@@ -101,6 +101,10 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "decontam",
         "hash_split",
         "token_budget_sample",
+        "temperature_mix",
+        "pack_sequences",
+        "nb_classify",
+        "semantic_dedup",
         "lm_score_trigram",
         "events_window",
         "orders_rdf",
