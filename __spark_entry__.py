@@ -626,6 +626,16 @@ def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft quality filtering (DCLM-style probabilistic reweighting):
+    keep probability ramps 0.1 → 1.0 as n_chars goes 100 → 400, decided
+    per row by the integer md5-prefix threshold (numeric compare — the
+    per-row cutoff can't be a lexicographic hex constant)."""
+    return datasets.quality_weighted_sample(
+        _docs(spark, sf), "n_chars", lo=100.0, hi=400.0, floor_frac=0.1
+    ).select("doc_id", "n_chars")
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing: every document's (shard, seq_id, seq_offset)
     position in 4 parallel 256-token GPT-style concat-and-chunk streams,
@@ -1202,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "nb_classify": q_nb_classify,
         "pack_sequences": q_pack_sequences,
+        "quality_sample": q_quality_sample,
         "semantic_dedup": q_semantic_dedup,
         "cluster_sample": q_cluster_sample,
         "repetition_features": q_repetition_features,
@@ -2229,6 +2240,14 @@ WITH tok AS (
 SELECT doc_id, lang FROM pfx
 WHERE budget >= tot
    OR p < printf('%04x', CAST(greatest(1, floor(budget / tot * 65536)) AS BIGINT))
+"""
+    # soft quality sampling: per-row numeric md5-prefix threshold
+    # (0x-cast == Spark conv(...,16,10)); keep_prob formula mirrored
+    # operation-for-operation so the double math is engine-identical.
+    out["quality_sample"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      < (0.1 + 0.9 * least(1.0, greatest(0.0, (n_chars - 100.0) / 300.0))) * 65536
 """
     # sequence packing: portable md5 shard hash + per-shard running-sum
     # window, exactly the Spark plan's shape.

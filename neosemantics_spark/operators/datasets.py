@@ -343,6 +343,48 @@ def temperature_mix(
     return _budget_filter(df, budgets, totals, strata_col, id_col, digits)
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    lo: float,
+    hi: float,
+    floor_frac: float = 0.0,
+    ceil_frac: float = 1.0,
+    id_col: str = "doc_id",
+    digits: int = 4,
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    proportional to its quality score instead of a hard cutoff — the
+    probabilistic reweighting used by DCLM-style pipelines (a hard
+    threshold discards everything just under the bar; a soft one keeps
+    a calibrated fraction of mid-quality data, which measurably helps
+    downstream models).
+
+    keep_prob = floor_frac + (ceil_frac − floor_frac) ·
+    clamp((score − lo)/(hi − lo), 0, 1); a row is kept iff the integer
+    value of its `digits`-hex-char md5(id) prefix < keep_prob·16^digits.
+    Unlike the fixed-cutoff samplers the cutoff varies PER ROW, so the
+    comparison is numeric (`conv(prefix, 16, 10)` — replayable in any
+    engine via the 0x-cast) rather than lexicographic. Shuffle-free,
+    seed-free, pushdown-able; the same row makes the same decision on
+    every run, engine, and cluster size. Deterministic given the score
+    column — pair it with any of the engine's score producers
+    (lm_score, text_quality, nb_score) or a plain column."""
+    span = hi - lo
+    if span <= 0:
+        raise ValueError("quality_weighted_sample requires hi > lo")
+    space = 16**digits
+    p = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(0.0), (F.col(score_col) - lo) / span),
+    )
+    keep_prob = F.lit(float(floor_frac)) + F.lit(float(ceil_frac - floor_frac)) * p
+    prefix_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, digits), 16, 10
+    ).cast("long")
+    return df.filter(prefix_int < keep_prob * space)
+
+
 def pack_sequences(
     df: DataFrame,
     seq_tokens: int = 2048,

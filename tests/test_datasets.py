@@ -299,3 +299,28 @@ def test_pack_sequences_deterministic(spark):
     a = ds.pack_sequences(df, seq_tokens=32, n_shards=8).toPandas().sort_values("doc_id")
     b = ds.pack_sequences(df, seq_tokens=32, n_shards=8).toPandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_quality_weighted_sample(spark):
+    import hashlib
+
+    rows = [(i, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = ds.quality_weighted_sample(df, "score", lo=100.0, hi=300.0)
+    got = {r["doc_id"] for r in out.collect()}
+    # exact per-row replay of the predicate
+    for i, s in rows:
+        p = min(1.0, max(0.0, (s - 100.0) / 200.0))
+        pref = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        assert (i in got) == (pref < p * 65536), i
+    # score >= hi always kept, score <= lo never kept (floor 0)
+    assert all(i in got for i in range(300, 400))
+    assert all(i not in got for i in range(0, 101))
+    # floor_frac keeps a base rate even at the bottom
+    out2 = ds.quality_weighted_sample(
+        df, "score", lo=100.0, hi=300.0, floor_frac=0.5
+    )
+    low_kept = sum(1 for r in out2.collect() if r["doc_id"] <= 100)
+    assert 30 <= low_kept <= 70  # ~50% of the 101 bottom rows
+    with pytest.raises(ValueError, match="hi > lo"):
+        ds.quality_weighted_sample(df, "score", lo=1.0, hi=1.0)
