@@ -422,6 +422,20 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.near_dup_clusters(docs, pairs)
 
 
+def q_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-based representative election over the near-dup
+    clusters: the highest-n_chars member of each cluster is the rep
+    (ties → smallest id) — the drop-in upgrade over min-id election
+    once a quality signal exists."""
+    docs = _docs(spark, sf)
+    pairs = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    clusters = dedup.near_dup_clusters(docs, pairs)
+    scores = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    return dedup.elect_cluster_reps(clusters, scores).select(
+        "doc_id", "cluster_id", "score", "is_rep"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf)).select("doc_id", "simhash")
 
@@ -1189,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_reps": q_cluster_reps,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "ann_topk": q_ann_topk,
@@ -1673,6 +1688,36 @@ FROM dup_view GROUP BY sha256(text) HAVING count(*) > 1
 """
     out["dedup_minhash_lsh"] = _minhash_sql()
     out["dedup_clusters"] = _dedup_clusters_sql()
+    # quality-based rep election: the clustering replay + highest-score
+    # (ties → min id) winner per cluster
+    out["cluster_reps"] = f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (
+  SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+),
+cl AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(d.n_chars AS DOUBLE) AS score
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM cl
+)
+SELECT doc_id, cluster_id, score,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM r
+"""
     out["dedup_simhash"] = _simhash_sql()
     out["dedup_jaccard"] = _jaccard_sql()
     out["ann_topk"] = """

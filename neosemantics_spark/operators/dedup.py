@@ -611,6 +611,56 @@ def simhash_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bucket_pairs(quarters, ["q", "band"], "doc_id")
 
 
+def elect_cluster_reps(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-based representative election: given `near_dup_clusters`
+    output (id, cluster_id) and a per-doc score table, mark the
+    HIGHEST-scoring member of each cluster as the representative (ties
+    break to the smallest id). Production dedup keeps the best-quality
+    member of a duplicate cluster, not an arbitrary one — min-id
+    election (the `doc_id == cluster_id` convention elsewhere) is only
+    the right default when no quality signal exists; this operator is
+    the drop-in upgrade once one does (lm_score, text_quality,
+    nb_score, or any numeric column).
+
+    Plan: left-join scores (missing score ⇒ −inf: a scoreless doc is
+    elected only in an all-scoreless cluster, where the tie-break
+    degenerates to min-id — consistent with the default convention),
+    one map-side-combined `min(struct(-score, id))` per cluster (no
+    window, no sort-shuffle of the corpus), broadcast-size join back.
+    Output: (id, cluster_id, score, is_rep) for every input row."""
+    neg_inf = float("-inf")
+    sc = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_s")), id_col, "left"
+    ).select(
+        id_col,
+        "cluster_id",
+        F.coalesce(F.col("_s"), F.lit(neg_inf)).alias("_s"),
+    )
+    winners = (
+        sc.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("_s")).alias("ns"), F.col(id_col).alias("rid"))
+            ).alias("m")
+        )
+        .select("cluster_id", F.col("m.rid").alias("_rep"))
+    )
+    return (
+        sc.join(winners, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("_s").alias(score_col),
+            (F.col(id_col) == F.col("_rep")).cast("int").alias("is_rep"),
+        )
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -775,3 +775,31 @@ def test_ivf_assign_auto_dispatch(spark, emb):
     assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
     big = similarity.ivf_assign(emb, n_centroids=80, method="auto")
     assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_elect_cluster_reps(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0)], ["doc_id", "score"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.elect_cluster_reps(clusters, scores).collect()
+    }
+    assert len(out) == 6
+    # highest score wins; tie (2 vs 3 at 9.0) breaks to the smaller id
+    assert out[2]["is_rep"] == 1 and out[3]["is_rep"] == 0 and out[1]["is_rep"] == 0
+    # singleton with a score is its own rep
+    assert out[7]["is_rep"] == 1
+    # all-scoreless cluster degenerates to min-id election
+    assert out[8]["is_rep"] == 1 and out[9]["is_rep"] == 0
+    # scoreless member never beats a scored one, exactly one rep per cluster
+    import collections
+
+    per = collections.Counter(
+        r["cluster_id"] for r in out.values() if r["is_rep"] == 1
+    )
+    assert all(v == 1 for v in per.values()) and len(per) == 3
