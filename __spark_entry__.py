@@ -2422,7 +2422,7 @@ WITH tok AS MATERIALIZED (
   )
 ), sc AS (
   SELECT doc_id,
-         ln(CASE WHEN c2v > 0
+         ln(CASE WHEN c2v > 0 AND n3tv > 0
                  THEN greatest(c3v - 0.75, 0) / c2v + 0.75 * n3tv / c2v * p2
                  ELSE p2 END) AS logp
   FROM lvl

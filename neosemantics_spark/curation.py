@@ -696,16 +696,37 @@ class CurationCheckpoint:
             json.dump(meta, fh)
         os.rename(tmp, self.p_meta)
 
+    # defaults for params added after a state root may have been created;
+    # absent keys in a stored meta.json mean "built before the knob
+    # existed", i.e. the knob's default behavior — NOT a mismatch
+    # (ADVICE r5: strict equality bricked pre-existing state roots).
+    _PARAM_DEFAULTS = {
+        "chunk_dedup": False,
+        "chunk_tokens": 32,
+        "semantic_dedup_threshold": None,
+        "semantic_nbits": 4,
+        "semantic_bands": 2,
+    }
+
     def _check_meta(self, params: dict) -> dict:
         stored = self._read_meta()
         if stored is not None:
-            if stored.get("params") != params:
+            stored_params = dict(stored.get("params") or {})
+            migrated = False
+            for key, default in self._PARAM_DEFAULTS.items():
+                if key not in stored_params:
+                    stored_params[key] = default
+                    migrated = True
+            if stored_params != params:
                 raise ValueError(
                     f"Curation state at {self.root} was built with "
-                    f"{stored.get('params')}; refusing to extend it with "
+                    f"{stored_params}; refusing to extend it with "
                     f"{params} — the persisted bucket index and LM are "
                     "parameter-specific."
                 )
+            if migrated:  # persist the filled params so the file is current
+                stored = {**stored, "params": stored_params}
+                self._write_meta(stored)
             return stored
         meta = {"params": params, "lm_vocab_size": None}
         self._write_meta(meta)

@@ -32,7 +32,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils import round4
+from ..utils import require_local_root, round4
 from .datasets import norm_tokens
 
 
@@ -87,10 +87,13 @@ def save_nb(model: NBModel, path: str) -> None:
     persisted LM (`CurationCheckpoint`) and BM25 index. Write-once
     (overwrite replaces atomically enough for a model artifact — the
     curation state's snapshot protocol is for INCREMENTAL tables; a
-    model is re-trained, not appended)."""
+    model is re-trained, not appended). The path must be driver-local
+    (same guard as CurationCheckpoint — the parquet writers would accept
+    a remote scheme but meta.json would silently land on the driver)."""
     import json
     import os
 
+    path = require_local_root(path, "save_nb model")
     model.classes.write.mode("overwrite").parquet(os.path.join(path, "classes"))
     model.likelihoods.write.mode("overwrite").parquet(
         os.path.join(path, "likelihoods")
@@ -111,6 +114,7 @@ def load_nb(spark, path: str) -> NBModel:
     import json
     import os
 
+    path = require_local_root(path, "load_nb model")
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     return NBModel(

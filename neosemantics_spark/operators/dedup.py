@@ -627,25 +627,30 @@ def elect_cluster_reps(
     the drop-in upgrade once one does (lm_score, text_quality,
     nb_score, or any numeric column).
 
-    Plan: left-join scores (missing score ⇒ −inf: a scoreless doc is
-    elected only in an all-scoreless cluster, where the tie-break
-    degenerates to min-id — consistent with the default convention),
-    one map-side-combined `min(struct(-score, id))` per cluster (no
-    window, no sort-shuffle of the corpus), broadcast-size join back.
-    Output: (id, cluster_id, score, is_rep) for every input row."""
+    Plan: scores are first collapsed to one row per id (max — the best
+    known score; a duplicate-id scores table would otherwise duplicate
+    cluster rows through the join, ADVICE r5), then left-joined; a
+    missing score ranks as −inf INTERNALLY for the argmin only (a
+    scoreless doc is elected only in an all-scoreless cluster, where the
+    tie-break degenerates to min-id — consistent with the default
+    convention) while the OUTPUT score column keeps the original value —
+    null for unscored docs, so callers can tell 'unscored' from a
+    genuine −inf score. One map-side-combined `min(struct(-score, id))`
+    per cluster (no window, no sort-shuffle of the corpus),
+    broadcast-size join back. Output: (id, cluster_id, score, is_rep)
+    for every input row."""
     neg_inf = float("-inf")
     sc = clusters.join(
-        scores.select(F.col(id_col), F.col(score_col).alias("_s")), id_col, "left"
-    ).select(
-        id_col,
-        "cluster_id",
-        F.coalesce(F.col("_s"), F.lit(neg_inf)).alias("_s"),
-    )
+        scores.groupBy(id_col).agg(F.max(score_col).alias("_s")), id_col, "left"
+    ).select(id_col, "cluster_id", "_s")
     winners = (
         sc.groupBy("cluster_id")
         .agg(
             F.min(
-                F.struct((-F.col("_s")).alias("ns"), F.col(id_col).alias("rid"))
+                F.struct(
+                    (-F.coalesce(F.col("_s"), F.lit(neg_inf))).alias("ns"),
+                    F.col(id_col).alias("rid"),
+                )
             ).alias("m")
         )
         .select("cluster_id", F.col("m.rid").alias("_rep"))

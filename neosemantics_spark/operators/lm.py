@@ -307,8 +307,11 @@ def lm_score_kn(
                       + D·N1+(w2•)/N1+(•w2•) · Pc(w3)
         Pc(w3)      = (N1+(•w3) + α) / (N1+(••) + α·V)
 
-    with full backoff to the lower order when a context is unseen
-    (c(w1w2)=0 or N1+(•w2•)=0) and the same add-α floor on the
+    with full backoff to the lower order when a context is unseen OR has
+    no observed continuations (c(w1w2)=0, N1+(w1w2•)=0 — e.g. a bigram
+    seen only document-finally — or N1+(•w2•)=0; without the N1+ guard
+    the discounted mass is 0·p2 and ln P is NULL) and the same add-α
+    floor on the
     continuation unigram keeping every probability positive. The join
     shape is the JM plan plus two type-count tables — seven n-gram-keyed
     equi-joins, zero driver state beyond three scalars."""
@@ -341,7 +344,7 @@ def lm_score_kn(
         F.greatest(cont23 - D, F.lit(0.0)) / midt + D * folt / midt * pc,
     ).otherwise(pc)
     p3 = F.when(
-        ctx2 > 0,
+        (ctx2 > 0) & (n3t > 0),
         F.greatest(c3 - D, F.lit(0.0)) / ctx2 + D * n3t / ctx2 * p2,
     ).otherwise(p2)
     scored = joined.select("id", F.log(p3).alias("logp"))

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .datasets import norm_tokens
-from ..utils import round4
+from ..utils import require_local_root, round4
 
 
 class BM25Index(NamedTuple):
@@ -182,7 +182,10 @@ def write_postings(
     see only committed batches, a crash mid-append leaves the previous
     snapshot fully live, and a replay overwrites its own partial
     directories (content-fingerprint batch ids). `write_postings`
-    itself (re)initializes the index to exactly one batch."""
+    itself (re)initializes the index to exactly one batch. The path must
+    be driver-local: the commit protocol is POSIX manifest + HEAD rename
+    (same guard as CurationCheckpoint / save_nb)."""
+    path = require_local_root(path, "BM25 index")
     postings, doclens = build_postings(docs, id_col, text_col)
     doclens = doclens.localCheckpoint(eager=True)
     bid = _idx_batch_id(doclens)
@@ -208,6 +211,7 @@ def append_postings(
     grown corpus. Commit = one HEAD rename after every directory is
     written; index+append ≡ rebuild over the union (pinned by test and
     the bm25_search driver oracle). Returns the batch id."""
+    path = require_local_root(path, "BM25 index")
     spark = docs.sparkSession
     m = _idx_manifest(path)
     if not m["batches"]:
@@ -238,6 +242,7 @@ def read_postings(spark: SparkSession, path: str) -> BM25Index:
     applies within every batch directory)."""
     import os
 
+    path = require_local_root(path, "BM25 index")
     batches = _idx_manifest(path)["batches"]
     if not batches:
         raise ValueError(f"no committed BM25 index at {path!r}")

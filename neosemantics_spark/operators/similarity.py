@@ -514,10 +514,18 @@ def _assign_numpy(
     BEFORE the arg-min and ties break on the smaller centroid_id, so
     both paths elect identical assignments (test_ivf_assign_numpy_
     matches_expr asserts row-for-row equality, including assign_k > 1
-    iterative exclusion). The expansion formula differs from the
-    per-element subtraction only below double epsilon — absorbed by the
-    round4 except on exact .00005 boundaries, which the equality test
-    would surface."""
+    iterative exclusion). The expansion formula alone is NOT enough for
+    that guarantee: its cancellation error scales with eps·(‖x‖²+‖c‖²),
+    which for 1e6-norm vectors exceeds the 1e-4 round4 grid (ADVICE r5).
+    So the matmul is a PREFILTER only — every entry that could reach the
+    top-k or tie it at the round4 grid (approx dist within the
+    per-entry cancellation bound + one grid cell of the k-th smallest)
+    is recomputed exactly as the per-element subtraction with a
+    sequential left-fold over dims, the same operation order as
+    `F.aggregate`'s fold in `_centroid_distances`, making the emitted
+    distances bit-identical to the expr path at ANY input norm. In the
+    non-degenerate case that is ~k entries per row; fully tied inputs
+    degrade to exact-everything in bounded memory chunks."""
     import numpy as np
 
     rows = cents.orderBy("centroid_id").collect()
@@ -525,18 +533,48 @@ def _assign_numpy(
     cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
     k = min(assign_k, len(cids))
 
+    def _exact_refine(X: "np.ndarray", dist: "np.ndarray", cand: "np.ndarray"):
+        """Overwrite dist[cand] with the exact sequential-fold distance
+        sqrt(fold(acc + (x_j-c_j)^2)), chunked to bound the (pairs × dims)
+        gather memory."""
+        rr, cc = np.nonzero(cand)
+        step = max(1, 4_000_000 // max(C.shape[1], 1))
+        for s in range(0, len(rr), step):
+            r_s, c_s = rr[s : s + step], cc[s : s + step]
+            diff = X[r_s] - C[c_s]
+            acc = np.zeros(len(r_s), dtype=np.float64)
+            for j in range(diff.shape[1]):  # left-fold: F.aggregate's order
+                dj = diff[:, j]
+                acc = acc + dj * dj
+            dist[r_s, c_s] = np.sqrt(acc)
+
     def gen(batches):
         import pandas as pd
 
         c2 = (C * C).sum(axis=1)
+        eps = np.finfo(np.float64).eps
+        err_factor = (4.0 * C.shape[1] + 16.0) * eps  # summation + expansion
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            d2 = np.maximum(
-                (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :], 0.0
+            x2 = (X * X).sum(axis=1)
+            d2 = np.maximum(x2[:, None] - 2.0 * (X @ C.T) + c2[None, :], 0.0)
+            dist = np.sqrt(d2)
+            # |Δd2| ≤ err2 ⇒ |Δdist| ≤ min(√err2, err2/(2·dist))
+            err2 = err_factor * (x2[:, None] + c2[None, :])
+            ed = np.sqrt(err2)
+            np.minimum(ed, err2 / np.maximum(2.0 * dist, 1e-300), out=ed)
+            kth = np.partition(dist, k - 1, axis=1)[:, k - 1 : k]
+            # entry excluded only if provably beyond the k-th exact dist
+            # by more than one round4 grid cell: cover the entry's own
+            # error AND the (row-max) error of whichever entry is truly
+            # k-th
+            cand = dist <= kth + ed + ed.max(axis=1, keepdims=True) + 1e-4
+            _exact_refine(X, dist, cand)
+            dist = np.where(
+                cand, np.floor(dist * 10000 + 0.5) / 10000, np.inf
             )
-            dist = np.floor(np.sqrt(d2) * 10000 + 0.5) / 10000
             ids = pdf["id"].to_numpy()
             out_id, out_cid, out_dist, out_rank = [], [], [], []
             work = dist.copy()

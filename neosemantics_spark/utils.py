@@ -16,3 +16,31 @@ def round4(col: Column) -> Column:
 
 
 ROUND4_SQL = "floor({x} * 10000 + 0.5) / 10000"
+
+
+def require_local_root(root: str, component: str) -> str:
+    """Refuse a non-local state/model root, normalizing file: URIs.
+
+    Every persisted artifact in this package that mixes Spark writers
+    (parquet tables) with driver-local POSIX I/O (meta.json, manifest +
+    atomic HEAD rename) must run through this guard: on an hdfs:// or
+    s3a:// root the parquet would land remotely while the POSIX half
+    writes to a bogus driver-local path — a silent split where half the
+    artifact is invisible (the hazard CurationCheckpoint and
+    IncrementalGraphStore refuse loudly; ADVICE r5 extended the guard to
+    save_nb/load_nb and the BM25 index). file:/ is accepted and
+    stripped, since Spark and POSIX agree on it."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", root)
+    if m:
+        scheme = m.group(1)
+        if scheme != "file":
+            raise ValueError(
+                f"{component} root {root!r} uses URI scheme {scheme!r}, "
+                f"but the artifact's metadata is written through "
+                f"driver-local POSIX I/O. Use a local filesystem path, "
+                f"or mount the remote store and pass its mount point."
+            )
+        root = re.sub(r"^file:(//)?", "", root) or "/"
+    return root

@@ -83,6 +83,23 @@ def test_save_load_roundtrip(spark, model_and_docs, tmp_path):
     assert a == b
 
 
+def test_save_load_reject_remote_scheme(spark, model_and_docs, tmp_path):
+    """save_nb/load_nb mix Spark writers with POSIX meta.json I/O — a
+    remote root would silently split the artifact (ADVICE r5)."""
+    import pytest as _pytest
+
+    model, _ = model_and_docs
+    with _pytest.raises(ValueError, match="URI scheme"):
+        classify.save_nb(model, "hdfs://nn/models/nb")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        classify.load_nb(spark, "s3a://bucket/models/nb")
+    # file: scheme is normalized and works
+    path = str(tmp_path / "nb_model_file")
+    classify.save_nb(model, "file://" + path)
+    loaded = classify.load_nb(spark, "file://" + path)
+    assert loaded.vocab_size == model.vocab_size
+
+
 def test_curate_corpus_nb_filter(spark, tmp_path):
     """Classifier-filter stage: docs predicted as the junk class are
     dropped; nb_model without nb_keep_label is a loud error."""

@@ -127,6 +127,46 @@ def test_curation_checkpoint_incremental(spark, tmp_path):
         cp.run(b3, bands=2, lm_quantile=0.0)
 
 
+def test_checkpoint_meta_missing_keys_default(spark, tmp_path):
+    """A meta.json written before newer params existed (no chunk_dedup /
+    semantic_* keys) must open as those params' defaults, not raise
+    (ADVICE r5: strict equality bricked pre-existing state roots)."""
+    import json
+
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} about spark curation state roots") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    root = str(tmp_path / "state")
+    cp = CurationCheckpoint(spark, root)
+    cp.run(docs, lm_quantile=0.0)
+    # simulate a pre-r5 checkpoint: strip the five newer keys
+    meta_path = cp.p_meta
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    for key in CurationCheckpoint._PARAM_DEFAULTS:
+        meta["params"].pop(key, None)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    more = spark.createDataFrame(
+        [(10, "an entirely fresh doc about upgrade compatibility")],
+        ["doc_id", "text"],
+    )
+    r = CurationCheckpoint(spark, root).run(more, lm_quantile=0.0)  # no raise
+    assert r.metrics["n_accepted"] == 1
+    with open(meta_path) as fh:  # meta migrated in place
+        migrated = json.load(fh)["params"]
+    assert migrated["chunk_dedup"] is False and migrated["semantic_bands"] == 2
+    # a NON-default value for a newer param still conflicts with old meta
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="parameter"):
+        CurationCheckpoint(spark, root).run(more, lm_quantile=0.0, chunk_tokens=64)
+
+
 def test_streaming_curate(spark, tmp_path):
     from neosemantics_spark.streaming.stream import streaming_curate
 

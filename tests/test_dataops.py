@@ -767,6 +767,31 @@ def test_ivf_assign_numpy_matches_expr(spark, emb):
         assert a.equals(b), f"mismatch at n_centroids={k_c}, assign_k={ak}"
 
 
+def test_ivf_assign_numpy_matches_expr_large_norm(spark, emb):
+    """ADVICE r5: the matmul expansion's cancellation error scales with
+    eps·‖x‖², so 1e6-norm vectors (1e12 in d2 terms) can exceed the
+    round4 grid. The exact-refine prefilter must keep the paths
+    row-identical even there."""
+    from pyspark.sql import functions as F
+
+    big = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 1.0e6).alias("embedding"),
+    )
+    for k_c, ak in ((16, 1), (45, 2)):
+        cents = similarity.ivf_centroids(big, k_c).localCheckpoint(eager=True)
+        a = similarity.ivf_assign(
+            big, centroids=cents, assign_k=ak, method="expr"
+        ).toPandas()
+        b = similarity.ivf_assign(
+            big, centroids=cents, assign_k=ak, method="numpy"
+        ).toPandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), f"large-norm mismatch at n_centroids={k_c}, assign_k={ak}"
+
+
 def test_ivf_assign_auto_dispatch(spark, emb):
     # auto at 16 centroids keeps the oracle-replayable expr plan (no
     # mapInPandas in the physical plan); a large centroid table flips
@@ -803,3 +828,22 @@ def test_elect_cluster_reps(spark):
         r["cluster_id"] for r in out.values() if r["is_rep"] == 1
     )
     assert all(v == 1 for v in per.values()) and len(per) == 3
+    # unscored docs keep a NULL score in the output — distinguishable
+    # from a genuine -inf score (ADVICE r5)
+    assert out[8]["score"] is None and out[9]["score"] is None
+    assert out[7]["score"] == 1.0
+
+
+def test_elect_cluster_reps_duplicate_scores_and_neg_inf(spark):
+    """A duplicate-id scores table must not duplicate cluster rows, and
+    a genuine -inf score is preserved in the output (ADVICE r5)."""
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame(
+        [(1, 5.0), (1, 3.0), (2, float("-inf"))], ["doc_id", "score"]
+    )
+    rows = dedup.elect_cluster_reps(clusters, scores).collect()
+    assert len(rows) == 2  # no fan-out through the join
+    out = {r["doc_id"]: r for r in rows}
+    assert out[1]["score"] == 5.0  # max of the duplicate scores
+    assert out[1]["is_rep"] == 1
+    assert out[2]["score"] == float("-inf") and out[2]["is_rep"] == 0

@@ -127,3 +127,27 @@ def test_kn_oov_and_ordering(spark, corpus):
     # p2 = pc, p3 = p2 (both contexts unseen) — still finite
     part = spark.createDataFrame([(3, "the zzz cat")], ["doc_id", "text"])
     assert math.isfinite(lm.lm_score_kn(part, model, stats).collect()[0]["avg_logp"])
+
+
+def test_kn_doc_final_bigram_context_backs_off(spark, corpus):
+    """A context bigram seen ONLY document-finally has c(w1w2)>0 but
+    N1+(w1w2•)=0; with c3=0 the top level must back off to p2 instead of
+    yielding probability 0 → ln NULL (ADVICE r5, lm.py p3 guard).
+    'the mat' ends doc 0, so ('the','mat') is in the bigram table with
+    no trigram continuation."""
+    model = lm.train_trigram_lm(corpus)
+    stats = lm.kn_stats(model)
+    ctx = {(r["w1"], r["w2"]): r["c2"] for r in model.bigrams.collect()}
+    assert ctx[("the", "mat")] == 1  # the context exists in training
+    n3t = {(r["w1"], r["w2"]): r["n3t"] for r in stats.ctx_types.collect()}
+    assert ("the", "mat") not in n3t  # ...but has zero continuations
+    probe = spark.createDataFrame([(9, "the mat zzz")], ["doc_id", "text"])
+    row = lm.lm_score_kn(probe, model, stats).collect()[0]
+    assert row["n_trigrams"] == 1
+    assert row["avg_logp"] is not None and math.isfinite(row["avg_logp"])
+    # p3 == p2 == pc here (no middle-'mat' trigrams either): the add-α
+    # continuation floor for OOV w3='zzz'
+    D, a = 0.75, 0.1
+    pc = (0 + a) / (stats.n_bigram_types + a * model.vocab_size)
+    want = math.floor(math.log(pc) * 10000 + 0.5) / 10000
+    assert row["avg_logp"] == pytest.approx(want, abs=1e-9)

@@ -171,3 +171,12 @@ def test_append_postings_guards(spark, docs, tmp_path):
     assert bid1 == bid2
     assert search._idx_manifest(path)["batches"].count(bid1) == 1
     assert search.read_postings(spark, path).n_docs == 5
+    # remote schemes are refused — POSIX manifest + Spark parquet would
+    # silently split across filesystems (ADVICE r5 guard)
+    for fn in (
+        lambda: search.write_postings(docs, "s3a://bucket/idx"),
+        lambda: search.append_postings(docs, "hdfs://nn/idx"),
+        lambda: search.read_postings(spark, "s3a://bucket/idx"),
+    ):
+        with pytest.raises(ValueError, match="URI scheme"):
+            fn()
