@@ -872,6 +872,59 @@ def q_curation_streaming(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_curation_streaming_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING parity for the round-5 semantic curation stage
+    (VERDICT r5 item 2): the exact `curation_semantic` scenario — two
+    batches of unique-text docs carrying the sf embeddings, SemDeDup at
+    cosine 0.5 cross-batch through the persisted emb_buckets/emb_vecs
+    state — but each batch is delivered as a parquet file through an
+    availableNow foreachBatch stream (`streaming_curate`, which forwards
+    curation opts to CurationCheckpoint.run). The oracle is the SAME SQL
+    as `curation_semantic`: the streaming wrapper must add no semantics
+    beyond micro-batch delivery."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.streaming.stream import streaming_curate
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.format_string(
+            "w%da w%db w%dc w%dd", "vec_id", "vec_id", "vec_id", "vec_id"
+        ).alias("text"),
+    )
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    root = tempfile.mkdtemp(prefix="curation_stream_sem_")
+    src, out, ck, state = (f"{root}/{d}" for d in ("src", "out", "ck", "state"))
+    opts = dict(
+        lm_quantile=0.0,
+        semantic_dedup_threshold=0.5,
+        semantic_nbits=4,
+        semantic_bands=2,
+        embeddings=vecs,
+    )
+    try:
+        b1.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        streaming_curate(stream, state, out, ck, **opts).awaitTermination(600)
+        b2.write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+        streaming_curate(stream2, state, out, ck, **opts).awaitTermination(600)
+        return (
+            spark.read.parquet(out)
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") < 250, 1).otherwise(2).alias("batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated (Jelinek-Mercer) trigram-LM scoring: train on even
     doc_ids, score the held-out odd half. One fidelity step below KenLM
@@ -892,6 +945,20 @@ def q_lm_score_kn(spark: SparkSession, sf: str) -> DataFrame:
     model = lm.train_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     return lm.lm_score_kn(docs.filter(F.col("doc_id") % 2 == 1), model).select(
         "doc_id", "n_trigrams", "avg_logp"
+    )
+
+
+def q_lm_score_kn5(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-5 modified (three-discount) Kneser-Ney scoring — the
+    KenLM-fidelity boundary lm.py's header names: train on even doc_ids,
+    score the held-out odd half. The oracle replays the full
+    count-of-counts discount estimation, the continuation-count chain,
+    per-context backoff-mass buckets, and the five interpolation levels
+    hash-exact."""
+    docs = _docs(spark, sf)
+    model = lm.train_kn5_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.lm_score_kn5(docs.filter(F.col("doc_id") % 2 == 1), model).select(
+        "doc_id", "n_5grams", "avg_logp"
     )
 
 
@@ -1217,9 +1284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lm_score_trigram": q_lm_score_trigram,
         "lm_score_kn": q_lm_score_kn,
+        "lm_score_kn5": q_lm_score_kn5,
         "curation_incremental": q_curation_incremental,
         "curation_streaming": q_curation_streaming,
         "curation_semantic": q_curation_semantic,
+        "curation_streaming_semantic": q_curation_streaming_semantic,
         "dedup_containment": q_dedup_containment,
         "semantic_decontam": q_semantic_decontam,
         "semantic_decontam_lsh": q_semantic_decontam_lsh,
@@ -2431,6 +2500,162 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
 FROM sc GROUP BY doc_id
 """
+    # order-5 modified Kneser-Ney replay: raw n-gram counts at orders
+    # 2-5, the continuation-count chain (each order's c' derived from
+    # the NEXT order's raw TYPE table), per-context denominator+bucket
+    # tables, count-of-counts discount triples per level (with the
+    # degenerate-fallback and 0.05 clamp mirroring lm._mkn_discounts),
+    # then the five interpolation levels chained through CTEs. α=0.1
+    # add-α floor at the unigram level (the engine's positivity
+    # convention).
+    _mkn_d = """
+  SELECT CASE WHEN least(n1, n2, n3, n4) <= 0 THEN 0.75
+              ELSE greatest(1 - 2 * (n1 / (n1 + 2 * n2)) * n2 / n1, 0.05) END AS d1,
+         CASE WHEN least(n1, n2, n3, n4) <= 0 THEN 0.75
+              ELSE greatest(2 - 3 * (n1 / (n1 + 2 * n2)) * n3 / n2, 0.05) END AS d2,
+         CASE WHEN least(n1, n2, n3, n4) <= 0 THEN 0.75
+              ELSE greatest(3 - 4 * (n1 / (n1 + 2 * n2)) * n4 / n3, 0.05) END AS d3
+  FROM (SELECT CAST(sum(CASE WHEN {c} = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN {c} = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+               CAST(sum(CASE WHEN {c} = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+               CAST(sum(CASE WHEN {c} = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4
+        FROM {t})"""
+
+    def _lvl_sql(p, c, den, n1, n2, n3p, d, lower):
+        disc = (
+            f"(CASE WHEN coalesce({c}, 0) >= 3 THEN {d}_d3 "
+            f"WHEN coalesce({c}, 0) = 2 THEN {d}_d2 ELSE {d}_d1 END)"
+        )
+        gamma = (
+            f"({d}_d1 * coalesce({n1}, 0) + {d}_d2 * coalesce({n2}, 0) "
+            f"+ {d}_d3 * coalesce({n3p}, 0))"
+        )
+        buckets = f"(coalesce({n1}, 0) + coalesce({n2}, 0) + coalesce({n3p}, 0))"
+        return (
+            f"CASE WHEN coalesce({den}, 0) > 0 AND {buckets} > 0 "
+            f"THEN greatest(CAST(coalesce({c}, 0) AS DOUBLE) - {disc}, 0) "
+            f"/ CAST({den} AS DOUBLE) "
+            f"+ {gamma} / CAST({den} AS DOUBLE) * {lower} "
+            f"ELSE {lower} END AS {p}"
+        )
+
+    _lvl2 = _lvl_sql("p2", "l2_c", "d2_den", "d2_n1", "d2_n2", "d2_n3p", "ds2", "p1")
+    _lvl3 = _lvl_sql("p3", "l3_c", "d3_den", "d3_n1", "d3_n2", "d3_n3p", "ds3", "p2")
+    _lvl4 = _lvl_sql("p4", "l4_c", "d4_den", "d4_n1", "d4_n2", "d4_n3p", "ds4", "p3")
+    _lvl5 = _lvl_sql("p5", "l5_c", "l5_den", "g5_n1", "g5_n2", "g5_n3p", "ds5", "p4")
+
+    out["lm_score_kn5"] = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t <> '') AS toks
+  FROM documents
+), g5e AS MATERIALIZED (
+  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3, g[4] AS w4, g[5] AS w5
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 3),
+                     i -> [toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]])) AS g
+        FROM tok WHERE len(toks) >= 5)
+), g4e AS (
+  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3, g[4] AS w4
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 2),
+                     i -> [toks[i], toks[i+1], toks[i+2], toks[i+3]])) AS g
+        FROM tok WHERE len(toks) >= 4)
+), g3e AS (
+  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                     i -> [toks[i], toks[i+1], toks[i+2]])) AS g
+        FROM tok WHERE len(toks) >= 3)
+), g2e AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS p
+        FROM tok WHERE len(toks) >= 2)
+), t5 AS MATERIALIZED (
+  SELECT w1, w2, w3, w4, w5, count(*) AS c FROM g5e WHERE doc_id % 2 = 0
+  GROUP BY 1, 2, 3, 4, 5
+), c4r AS MATERIALIZED (
+  SELECT w1, w2, w3, w4, count(*) AS c FROM g4e WHERE doc_id % 2 = 0
+  GROUP BY 1, 2, 3, 4
+), t3t AS (SELECT w1, w2, w3 FROM g3e WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+   t2t AS (SELECT w1, w2 FROM g2e WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+   c4p AS MATERIALIZED (SELECT w2, w3, w4, w5, count(*) AS cc FROM t5 GROUP BY 1, 2, 3, 4),
+   c3p AS MATERIALIZED (
+  SELECT w2 AS w3, w3 AS w4, w4 AS w5, count(*) AS cc FROM c4r GROUP BY 1, 2, 3
+), c2p AS MATERIALIZED (
+  SELECT w2 AS w4, w3 AS w5, count(*) AS cc FROM t3t GROUP BY 1, 2
+), c1p AS MATERIALIZED (SELECT w2 AS w5, count(*) AS cc FROM t2t GROUP BY 1),
+   g5t AS (
+  SELECT w1, w2, w3, w4,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3p
+  FROM t5 GROUP BY 1, 2, 3, 4
+), d4t AS (
+  SELECT w2, w3, w4, CAST(sum(cc) AS DOUBLE) AS den,
+         CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3p
+  FROM c4p GROUP BY 1, 2, 3
+), d3t AS (
+  SELECT w3, w4, CAST(sum(cc) AS DOUBLE) AS den,
+         CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3p
+  FROM c3p GROUP BY 1, 2
+), d2t AS (
+  SELECT w4, CAST(sum(cc) AS DOUBLE) AS den,
+         CAST(sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3p
+  FROM c2p GROUP BY 1
+), ds5 AS ({_mkn_d.format(c='c', t='t5')}),
+   ds4 AS ({_mkn_d.format(c='cc', t='c4p')}),
+   ds3 AS ({_mkn_d.format(c='cc', t='c3p')}),
+   ds2 AS ({_mkn_d.format(c='cc', t='c2p')}),
+   nbv AS (
+  SELECT CAST((SELECT sum(cc) FROM c1p) AS DOUBLE) AS nb,
+         CAST((SELECT count(DISTINCT w)
+               FROM (SELECT unnest(toks) AS w FROM tok
+                     WHERE doc_id % 2 = 0)) AS DOUBLE) AS v
+), j AS (
+  SELECT d.doc_id,
+         t5.c AS l5_c, c4r.c AS l5_den, g5t.n1 AS g5_n1, g5t.n2 AS g5_n2, g5t.n3p AS g5_n3p,
+         c4p.cc AS l4_c, d4t.den AS d4_den, d4t.n1 AS d4_n1, d4t.n2 AS d4_n2, d4t.n3p AS d4_n3p,
+         c3p.cc AS l3_c, d3t.den AS d3_den, d3t.n1 AS d3_n1, d3t.n2 AS d3_n2, d3t.n3p AS d3_n3p,
+         c2p.cc AS l2_c, d2t.den AS d2_den, d2t.n1 AS d2_n1, d2t.n2 AS d2_n2, d2t.n3p AS d2_n3p,
+         c1p.cc AS l1_c
+  FROM g5e d
+  LEFT JOIN t5 ON d.w1 = t5.w1 AND d.w2 = t5.w2 AND d.w3 = t5.w3 AND d.w4 = t5.w4 AND d.w5 = t5.w5
+  LEFT JOIN c4r ON d.w1 = c4r.w1 AND d.w2 = c4r.w2 AND d.w3 = c4r.w3 AND d.w4 = c4r.w4
+  LEFT JOIN g5t ON d.w1 = g5t.w1 AND d.w2 = g5t.w2 AND d.w3 = g5t.w3 AND d.w4 = g5t.w4
+  LEFT JOIN c4p ON d.w2 = c4p.w2 AND d.w3 = c4p.w3 AND d.w4 = c4p.w4 AND d.w5 = c4p.w5
+  LEFT JOIN d4t ON d.w2 = d4t.w2 AND d.w3 = d4t.w3 AND d.w4 = d4t.w4
+  LEFT JOIN c3p ON d.w3 = c3p.w3 AND d.w4 = c3p.w4 AND d.w5 = c3p.w5
+  LEFT JOIN d3t ON d.w3 = d3t.w3 AND d.w4 = d3t.w4
+  LEFT JOIN c2p ON d.w4 = c2p.w4 AND d.w5 = c2p.w5
+  LEFT JOIN d2t ON d.w4 = d2t.w4
+  LEFT JOIN c1p ON d.w5 = c1p.w5
+  WHERE d.doc_id % 2 = 1
+), l1 AS (
+  SELECT j.*, ds2.*, ds3.*, ds4.*, ds5.*, nbv.nb, nbv.v,
+         (CAST(coalesce(l1_c, 0) AS DOUBLE) + 0.1) / (nbv.nb + 0.1 * nbv.v) AS p1
+  FROM j CROSS JOIN nbv
+  CROSS JOIN (SELECT d1 AS ds2_d1, d2 AS ds2_d2, d3 AS ds2_d3 FROM ds2) ds2
+  CROSS JOIN (SELECT d1 AS ds3_d1, d2 AS ds3_d2, d3 AS ds3_d3 FROM ds3) ds3
+  CROSS JOIN (SELECT d1 AS ds4_d1, d2 AS ds4_d2, d3 AS ds4_d3 FROM ds4) ds4
+  CROSS JOIN (SELECT d1 AS ds5_d1, d2 AS ds5_d2, d3 AS ds5_d3 FROM ds5) ds5
+), l2 AS (SELECT *, {_lvl2} FROM l1
+), l3 AS (SELECT *, {_lvl3} FROM l2
+), l4 AS (SELECT *, {_lvl4} FROM l3
+), l5 AS (SELECT *, {_lvl5} FROM l4
+), sc AS (SELECT doc_id, ln(p5) AS logp FROM l5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_5grams,
+       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+FROM sc GROUP BY doc_id
+"""
     # embedding-space decontamination: bench = vec_id % 20 == 0,
     # max cosine + hit count per training vector above 0.35
     out["semantic_decontam"] = """
@@ -2571,6 +2796,10 @@ SELECT id AS doc_id, 1 AS batch FROM acc1
 UNION ALL
 SELECT id AS doc_id, 2 AS batch FROM acc2
 """
+    # the streaming wrapper must add no semantics beyond micro-batch
+    # delivery: identical replay to curation_semantic (the same pairing
+    # as curation_streaming ≡ curation_incremental)
+    out["curation_streaming_semantic"] = out["curation_semantic"]
     # SemDeDup action: the embedding_near_dups pair replay + recursive
     # transitive closure (the dedup_clusters shape) + min-id rep flag.
     out["semantic_dedup"] = f"""

@@ -84,6 +84,15 @@ def main() -> None:
     )
     ap.add_argument("--nb-keep-label", default=None)
     ap.add_argument(
+        "--rep-score",
+        default=None,
+        choices=["quality"],
+        help="elect the highest-quality member of each near-dup cluster "
+        "as its representative (text-quality composite score; ties -> "
+        "min id) instead of the min-id default, for both the text and "
+        "embedding dedup stages",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the batch commits, merge all state batch directories "
@@ -122,6 +131,7 @@ def main() -> None:
         semantic_dedup_threshold=args.semantic_dedup_threshold,
         semantic_nbits=args.semantic_nbits,
         semantic_bands=args.semantic_bands,
+        rep_score=args.rep_score,
     )
     if args.nb_model:
         from neosemantics_spark.operators import classify

@@ -112,6 +112,7 @@ def _semantic_dedup_stage(
     id_col: str,
     old_buckets: DataFrame | None = None,
     old_vecs: DataFrame | None = None,
+    rep_scores: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Embedding-space (SemDeDup-style) dedup stage shared by the
     one-shot and incremental pipelines. In-batch: LSH-bucketed candidate
@@ -202,11 +203,15 @@ def _semantic_dedup_stage(
         .select("a", "b")
     )
     clusters = dedup.near_dup_clusters(survivors.select(id_col), verified, id_col)
-    reps = survivors.join(
-        clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col),
-        id_col,
-        "left_semi",
-    ).cache()
+    if rep_scores is not None:
+        winners = (
+            dedup.elect_cluster_reps(clusters, rep_scores, id_col=id_col)
+            .filter(F.col("is_rep") == 1)
+            .select(id_col)
+        )
+    else:
+        winners = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    reps = survivors.join(winners, id_col, "left_semi").cache()
     metrics["n_after_semantic_dedup"] = reps.count()
     return reps, eb, vecs
 
@@ -237,6 +242,33 @@ def _apply_nb_filter(
     return out
 
 
+def _resolve_rep_scores(rep_score, docs, id_col, text_col):
+    """Normalize the `rep_score` option to an (id_col, score) DataFrame
+    (or None): the string "quality" computes the engine's text-quality
+    composite over `docs`; a DataFrame passes through with its score
+    column renamed. The scores table is rep-election input only — pure
+    column expressions at corpus scale, no shuffle until the per-cluster
+    argmin."""
+    if rep_score is None:
+        return None
+    if isinstance(rep_score, str):
+        if rep_score != "quality":
+            raise ValueError(
+                f"rep_score={rep_score!r}: expected 'quality' or an "
+                f"({id_col}, score) DataFrame"
+            )
+        from .operators.text import quality_features
+
+        return quality_features(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        ).select(
+            F.col("doc_id").alias(id_col), F.col("quality_score").alias("score")
+        )
+    if "score" not in rep_score.columns:
+        raise ValueError("rep_score DataFrame needs a 'score' column")
+    return rep_score.select(id_col, "score")
+
+
 def curate_corpus(
     docs: DataFrame,
     bench: DataFrame | None = None,
@@ -259,12 +291,19 @@ def curate_corpus(
     semantic_bands: int = 2,
     nb_model=None,
     nb_keep_label: str | None = None,
+    rep_score=None,
 ) -> CurationResult:
     """Run the full curation pipeline over `docs`.
 
     - near-dups: MinHash-LSH candidates, exact-Jaccard verification at
       `jaccard_threshold`, transitive clustering; the cluster's min-id
-      doc survives.
+      doc survives. With `rep_score` the HIGHEST-scoring cluster member
+      survives instead (ties → min id; `dedup.elect_cluster_reps`):
+      pass the string "quality" to score with the engine's
+      text-quality composite (`text.quality_features.quality_score`),
+      or any (id_col, score) DataFrame — an lm_score, nb_score, or
+      external signal. The same election applies to the semantic-dedup
+      stage's clusters when that stage is enabled.
     - chunk dedup (when `chunk_dedup`): survivors are rewritten without
       corpus-duplicated `chunk_tokens`-token spans (dedup.dedup_chunks);
       documents emptied to pure boilerplate are dropped.
@@ -296,6 +335,8 @@ def curate_corpus(
     kept = dedup.dedup_exact(docs, text_col).cache()
     metrics["n_after_exact_dedup"] = kept.count()
 
+    rep_scores = _resolve_rep_scores(rep_score, kept, id_col, text_col)
+
     cand = dedup.minhash_lsh_candidates(
         kept, num_hashes=num_hashes, bands=bands, text_col=text_col
     )
@@ -303,11 +344,19 @@ def curate_corpus(
         kept, threshold=jaccard_threshold, text_col=text_col, candidates=cand
     ).select("a", "b")
     clusters = dedup.near_dup_clusters(kept, verified, id_col)
-    reps = (
-        kept.join(clusters, id_col)
-        .filter(F.col(id_col) == F.col("cluster_id"))
-        .cache()
-    )
+    if rep_scores is not None:
+        winners = (
+            dedup.elect_cluster_reps(clusters, rep_scores, id_col=id_col)
+            .filter(F.col("is_rep") == 1)
+            .select(id_col, "cluster_id")  # keep cluster_id like min-id path
+        )
+        reps = kept.join(winners, id_col).cache()
+    else:
+        reps = (
+            kept.join(clusters, id_col)
+            .filter(F.col(id_col) == F.col("cluster_id"))
+            .cache()
+        )
     metrics["n_after_near_dedup"] = reps.count()
 
     if chunk_dedup:
@@ -324,6 +373,7 @@ def curate_corpus(
             nbits=semantic_nbits,
             bands=semantic_bands,
             id_col=id_col,
+            rep_scores=rep_scores,
         )
 
     clean = reps
@@ -755,6 +805,7 @@ class CurationCheckpoint:
         semantic_bands: int = 2,
         nb_model=None,
         nb_keep_label: str | None = None,
+        rep_score=None,
     ) -> CurationResult:
         """Curate one batch against all previously accepted state.
         doc ids must be globally unique across batches (they key the
@@ -774,7 +825,16 @@ class CurationCheckpoint:
         accepted doc's embedding, a new doc within the cosine threshold
         of ANY of them is dropped (historical doc stays canonical), and
         in-batch clustering applies the same no-chaining policy as the
-        text near-dup stage."""
+        text near-dup stage.
+
+        `rep_score` ("quality" or an (id_col, score) DataFrame) elects
+        the highest-scoring member of each IN-BATCH cluster instead of
+        the min id (`dedup.elect_cluster_reps`), for both the text and
+        embedding near-dup stages. It is a batch-local selection policy,
+        not part of the state fingerprint: the persisted index stays
+        valid because it is derived from whatever set was actually
+        accepted; cross-batch drops (historical doc stays canonical)
+        are unaffected by which in-batch member won."""
         meta = self._check_meta(
             {
                 "num_hashes": num_hashes,
@@ -927,12 +987,21 @@ class CurationCheckpoint:
                 sids.withColumnRenamed(id_col, "a"), "a", "left_semi"
             ).join(sids.withColumnRenamed(id_col, "b"), "b", "left_semi")
         clusters = dedup.near_dup_clusters(survivors, in_batch_v, id_col)
-        reps = (
-            survivors.join(clusters, id_col)
-            .filter(F.col(id_col) == F.col("cluster_id"))
-            .drop("cluster_id")
-            .cache()
-        )
+        rep_scores = _resolve_rep_scores(rep_score, fresh, id_col, text_col)
+        if rep_scores is not None:
+            winners = (
+                dedup.elect_cluster_reps(clusters, rep_scores, id_col=id_col)
+                .filter(F.col("is_rep") == 1)
+                .select(id_col)
+            )
+            reps = survivors.join(winners, id_col, "left_semi").cache()
+        else:
+            reps = (
+                survivors.join(clusters, id_col)
+                .filter(F.col(id_col) == F.col("cluster_id"))
+                .drop("cluster_id")
+                .cache()
+            )
         metrics["n_after_near_dedup"] = reps.count()
 
         # 2b. chunk-level dedup — cross-batch: chunks claimed by earlier
@@ -970,6 +1039,7 @@ class CurationCheckpoint:
                 id_col=id_col,
                 old_buckets=self._table(self.p_emb_buckets),
                 old_vecs=self._table(self.p_emb_vecs),
+                rep_scores=rep_scores,
             )
 
         # 3. decontamination (stateless vs the benchmark set)

@@ -24,14 +24,24 @@ own merge functions — materialized-view maintenance, Spark-first:
   OVERWRITE results; canonical order makes ours deterministic).
   `order='arrival'` reproduces the reference's temporal last-wins
   instead (the batch sequence number is prefixed to the order key).
-- per batch the merge shuffles O(|state| + |delta|) where |state| is
-  nodes-scale (not triples-scale): the 100 TB steady-state cost is
-  proportional to the graph, not the corpus history. On a real cluster
-  the state tables become bucketed Iceberg tables and the merge is a
-  co-partitioned MERGE INTO; here they are parquet version directories
-  with the same atomic-snapshot commit protocol as the curation state
-  (commits/MANIFEST-<n> + HEAD rename — crash anywhere leaves HEAD on a
-  complete older version).
+- the state tables are HASH-BUCKETED by their entity key (subject /
+  src / uri — `pmod(xxhash64(key), n_buckets)`), one parquet
+  directory per bucket, and the manifest records a per-bucket version
+  pointer. A batch merge reads and rewrites ONLY the buckets its delta
+  touches: per-batch shuffle and write are O(|delta| + touched_buckets
+  × bucket_size), NOT O(|state|) — the parquet stand-in for a
+  co-partitioned Iceberg MERGE INTO. Sizing rule at scale: pick
+  n_buckets ≈ |state| / target_bucket_rows so bucket size stays
+  bounded as the graph grows; a delta touching k entities then costs
+  ≤ k bounded-size bucket rewrites regardless of total state
+  (BASELINE.md round-6 has the flat-merge measurement). Untouched
+  buckets keep their old version pointer, so live data spans several
+  v=<n> directories; when more than `max_live_versions` are
+  referenced, the next merge compacts everything into one (amortized
+  LSM-style). Commit protocol is unchanged: commits/MANIFEST-<n> +
+  atomic HEAD rename — crash anywhere leaves HEAD on a complete older
+  snapshot whose buckets are all still on disk (GC keeps every version
+  referenced by the current AND previous manifest).
 
 Scope boundary (documented, not silent): entity linking
 (`canonicalize_triples`, the owl:sameAs connected-components fusion) is
@@ -65,8 +75,22 @@ from .transforms import split_star_rows
 _TABLES = ("prop_state", "label_state", "edge_state", "rel_raw_state",
            "star_state", "uri_state")
 
+# the entity column each state table is hash-bucketed on: the leading
+# column of its group key, so co-bucketing holds for every aggregation
+# and one delta entity touches at most one bucket per table
+_BUCKET_KEY = {
+    "prop_state": "subject",
+    "label_state": "subject",
+    "edge_state": "src",
+    "rel_raw_state": "src",
+    "star_state": "src",
+    "uri_state": "uri",
+}
 
-def _cfg_fingerprint(cfg: GraphConfig, with_graph_identity: bool, order: str) -> str:
+
+def _cfg_fingerprint(
+    cfg: GraphConfig, with_graph_identity: bool, order: str, n_buckets: int
+) -> str:
     import hashlib
     from dataclasses import asdict
 
@@ -74,6 +98,7 @@ def _cfg_fingerprint(cfg: GraphConfig, with_graph_identity: bool, order: str) ->
         "cfg": asdict(cfg),
         "with_graph_identity": with_graph_identity,
         "order": order,
+        "n_buckets": n_buckets,
     }
     return hashlib.sha256(
         json.dumps(payload, sort_keys=True, default=str).encode()
@@ -94,6 +119,8 @@ class IncrementalGraphStore:
         cfg: Optional[GraphConfig] = None,
         with_graph_identity: bool = True,
         order: str = "canonical",
+        n_buckets: int = 16,
+        max_live_versions: int = 8,
     ):
         # same driver-local commit protocol as CurationCheckpoint: a
         # remote-scheme root would silently lose the manifest
@@ -108,17 +135,21 @@ class IncrementalGraphStore:
             root = re.sub(r"^file:(//)?", "", root) or "/"
         if order not in ("canonical", "arrival"):
             raise ValueError(f"order must be 'canonical' or 'arrival', got {order!r}")
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         self.spark = spark
         self.root = root
         self.cfg = cfg or GraphConfig()
         self.with_graph_identity = with_graph_identity
         self.order = order
+        self.n_buckets = n_buckets
+        self.max_live_versions = max(1, max_live_versions)
         self.need_arrays = (
             self.cfg.handle_multival == ARRAY or self.cfg.strict_data_type_check
         )
         self.p_commits = os.path.join(root, "commits")
         self.p_meta = os.path.join(root, "meta.json")
-        fp = _cfg_fingerprint(self.cfg, with_graph_identity, order)
+        fp = _cfg_fingerprint(self.cfg, with_graph_identity, order, n_buckets)
         if os.path.exists(self.p_meta):
             with open(self.p_meta) as fh:
                 meta = json.load(fh)
@@ -128,7 +159,8 @@ class IncrementalGraphStore:
                     f"built with fingerprint {meta['fingerprint']}, caller "
                     f"passed {fp}. Aggregation state is config-specific "
                     "(OVERWRITE state has no value lists an ARRAY run "
-                    "needs) — use a fresh root for a new config."
+                    "needs, and the bucket layout is n_buckets-specific) — "
+                    "use a fresh root for a new config."
                 )
         self.fingerprint = fp
 
@@ -152,13 +184,69 @@ class IncrementalGraphStore:
     def _vdir(self, version: int, table: str) -> str:
         return os.path.join(self.root, f"v={version:06d}", table)
 
-    def _state(self, table: str) -> Optional[DataFrame]:
-        v = self.version()
-        if v == 0:
-            return None
-        return self.spark.read.parquet(self._vdir(v, table))
+    def _bucket_col(self, table: str):
+        return F.pmod(
+            F.xxhash64(F.col(_BUCKET_KEY[table])), F.lit(self.n_buckets)
+        ).cast("int")
 
-    def _publish(self, new_version: int, batch_id: str, n_rows: dict) -> None:
+    def _read_buckets(
+        self, table: str, bucket_map: dict, buckets: Optional[set]
+    ) -> Optional[DataFrame]:
+        """Assemble (a subset of) one state table from its per-bucket
+        version pointers: buckets sharing a version are read in one call
+        against that version's partitioned directory (explicit bucket=
+        sub-paths — directory-level pruning, no filter needed), then
+        unioned. `buckets=None` reads the whole table. Returns None when
+        nothing is selected; the `bucket` partition column is dropped."""
+        from collections import defaultdict
+
+        by_ver: dict = defaultdict(list)
+        for b_str, v in bucket_map.items():
+            b = int(b_str)
+            if buckets is None or b in buckets:
+                by_ver[v].append(b)
+        parts = []
+        for v, bs in sorted(by_ver.items()):
+            base = self._vdir(v, table)
+            paths = [os.path.join(base, f"bucket={b}") for b in sorted(bs)]
+            parts.append(
+                self.spark.read.option("basePath", base).parquet(*paths)
+            )
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.drop("bucket")
+
+    def _empty_table(self, table: str, manifest: dict) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema_json = manifest.get("schemas", {}).get(table)
+        if schema_json is None:
+            raise ValueError(
+                f"state table {table} has no rows and no recorded schema"
+            )
+        return self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
+
+    def _state(self, table: str) -> Optional[DataFrame]:
+        m = self._read_manifest()
+        if m["version"] == 0:
+            return None
+        df = self._read_buckets(table, m.get("buckets", {}).get(table, {}), None)
+        return self._empty_table(table, m) if df is None else df
+
+    def _publish(
+        self,
+        new_version: int,
+        batch_id: str,
+        n_rows: dict,
+        buckets: dict,
+        counts: dict,
+        schemas: dict,
+    ) -> None:
         os.makedirs(self.p_commits, exist_ok=True)
         if not os.path.exists(self.p_meta):
             with open(self.p_meta, "w") as fh:
@@ -167,6 +255,9 @@ class IncrementalGraphStore:
         manifest = {
             "version": new_version,
             "batches": m["batches"] + [{"batch_id": batch_id, **n_rows}],
+            "buckets": buckets,
+            "counts": counts,
+            "schemas": schemas,
         }
         name = f"MANIFEST-{new_version:06d}.json"
         with open(os.path.join(self.p_commits, name), "w") as fh:
@@ -175,11 +266,17 @@ class IncrementalGraphStore:
         with open(tmp, "w") as fh:
             fh.write(name)
         os.rename(tmp, os.path.join(self.p_commits, "HEAD"))
-        # GC: keep current + previous snapshot (previous enables a
-        # manual rollback; anything older is unreachable)
-        keep = {f"v={new_version:06d}", f"v={new_version - 1:06d}"}
+        # GC: keep every version directory referenced by the NEW manifest
+        # (live buckets may point at several versions) plus everything the
+        # PREVIOUS manifest referenced (manual rollback = point HEAD back
+        # one manifest); anything else is unreachable
+        keep = {new_version, new_version - 1}
+        for mf in (manifest, m):
+            for tmap in mf.get("buckets", {}).values():
+                keep.update(tmap.values())
+        keep_names = {f"v={v:06d}" for v in keep}
         for name_ in os.listdir(self.root):
-            if name_.startswith("v=") and name_ not in keep:
+            if name_.startswith("v=") and name_ not in keep_names:
                 shutil.rmtree(os.path.join(self.root, name_), ignore_errors=True)
 
     # ------------------------------------------------------------ partials
@@ -327,20 +424,98 @@ class IncrementalGraphStore:
     # ----------------------------------------------------------------- API
     def merge_batch(self, triples_t: DataFrame, batch_id: Optional[str] = None) -> dict:
         """Fold one batch of `transform_triples` output into the state.
-        Returns per-table merged row counts. Crash-safe: all tables land
-        in a NEW v=<n+1> directory before the single HEAD rename; a
-        retry of a crashed merge re-reads the still-HEAD old version."""
-        cur = self.version()
+        Returns per-table total row counts. Crash-safe: all rewritten
+        buckets land in a NEW v=<n+1> directory before the single HEAD
+        rename; a retry of a crashed merge re-reads the still-HEAD old
+        pointers and overwrites the orphaned directory.
+
+        Delta-proportional: per table, only the buckets the delta's
+        entity keys hash into are read, re-aggregated with the batch
+        partial, and rewritten — untouched buckets keep their existing
+        version pointer and are not read, shuffled, or copied. The
+        re-aggregation is an identity on groups the delta didn't touch
+        (every merge function is algebraic with a single-row fixpoint),
+        so touched-bucket rewrite == per-group upsert. When the live
+        pointer set spans more than `max_live_versions` version
+        directories, this merge compacts: every bucket is rewritten into
+        v=<n+1> and old versions become unreachable."""
+        manifest = self._read_manifest()
+        cur = manifest["version"]
         new_v = cur + 1
         partials = self._partials(triples_t, new_v)
+        bucket_map = {
+            t: dict(m) for t, m in manifest.get("buckets", {}).items()
+        }
+        count_map = {t: dict(m) for t, m in manifest.get("counts", {}).items()}
+        schemas = dict(manifest.get("schemas", {}))
+        live_versions = {
+            v for tmap in bucket_map.values() for v in tmap.values()
+        }
+        compacting = len(live_versions) >= self.max_live_versions
         counts = {}
         for table, part in partials.items():
-            old = self._state(table) if cur else None
-            merged = part if old is None else self._merge(table, old, part, self.need_arrays)
+            schemas[table] = part.schema.json()
+            part = part.withColumn("bucket", self._bucket_col(table))
+            # delta-scale: materialize once — the partial feeds both the
+            # touched-bucket probe and the merge input
+            part = part.localCheckpoint(eager=True)
+            tmap = bucket_map.setdefault(table, {})
+            cmap = count_map.setdefault(table, {})
+            delta_buckets = {
+                r["bucket"] for r in part.select("bucket").distinct().collect()
+            }
+            if compacting:
+                touched = delta_buckets | {int(b) for b in tmap}
+            else:
+                touched = delta_buckets
+            if not touched:
+                counts[table] = sum(cmap.values())
+                continue
+            old = self._read_buckets(table, tmap, touched)
+            merged = (
+                part.drop("bucket")
+                if old is None
+                else self._merge(table, old, part.drop("bucket"), self.need_arrays)
+            )
             out = self._vdir(new_v, table)
-            merged.write.mode("overwrite").parquet(out)
-            counts[table] = self.spark.read.parquet(out).count()
-        self._publish(new_v, batch_id or f"batch-{new_v:06d}", counts)
+            (
+                merged.withColumn("bucket", self._bucket_col(table))
+                .repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(out)
+            )
+            written = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out)
+                if d.startswith("bucket=")
+            )
+            if written:
+                per_bucket = {
+                    r["bucket"]: r["n"]
+                    for r in self.spark.read.option("basePath", out)
+                    .parquet(*[os.path.join(out, f"bucket={b}") for b in written])
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            else:
+                per_bucket = {}
+            if compacting:
+                tmap.clear()
+                cmap.clear()
+            for b in written:
+                tmap[str(b)] = new_v
+                cmap[str(b)] = per_bucket.get(b, 0)
+            counts[table] = sum(cmap.values())
+        self._publish(
+            new_v,
+            batch_id or f"batch-{new_v:06d}",
+            counts,
+            bucket_map,
+            count_map,
+            schemas,
+        )
         return counts
 
     def tables(self) -> GraphTables:

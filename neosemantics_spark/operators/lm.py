@@ -352,3 +352,247 @@ def lm_score_kn(
         F.count("*").alias("n_trigrams"),
         round4(F.avg("logp")).alias("avg_logp"),
     )
+
+
+# --------------------------------------------- order-5 modified Kneser-Ney
+class KN5LM(NamedTuple):
+    """Model tables for 5-gram modified (three-discount) Kneser-Ney —
+    the documented KenLM-fidelity boundary (this module's header):
+    raw top-order counts, the continuation-count chain derived from the
+    next order's TYPE tables, per-context backoff-mass buckets, and the
+    per-level discount triples estimated from count-of-counts."""
+
+    t5: DataFrame      # (w1..w5, c)            raw 5-gram counts
+    c4r: DataFrame     # (w1..w4, c)            raw 4-gram counts (top denom)
+    g5: DataFrame      # (w1..w4, n1, n2, n3p)  5-gram count buckets per ctx
+    c4p: DataFrame     # (w2..w5, cc)           N1+(• w2..w5)
+    d4: DataFrame      # (w2..w4, den, n1, n2, n3p)
+    c3p: DataFrame     # (w3..w5, cc)           N1+(• w3 w4 w5)
+    d3: DataFrame      # (w3, w4, den, n1, n2, n3p)
+    c2p: DataFrame     # (w4, w5, cc)           N1+(• w4 w5)
+    d2: DataFrame      # (w4, den, n1, n2, n3p)
+    c1p: DataFrame     # (w5, cc)               N1+(• w5)
+    discounts: dict    # level -> (D1, D2, D3)
+    n_bigram_types: int
+    vocab_size: int
+
+
+def _doc_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1..wn) — one row per n-gram occurrence; same
+    materialize-then-transform guard as `_doc_bigrams`."""
+    base = docs.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("toks")
+    )
+    toks = F.col("toks")
+    struct_type = "array<struct<" + ",".join(f"w{i + 1}:string" for i in range(n)) + ">>"
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                *[F.element_at(toks, i + j + 1).alias(f"w{j + 1}") for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast(struct_type))
+    return base.select("id", F.explode(grams).alias("g")).select(
+        "id", *[F.col(f"g.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
+    )
+
+
+def _mkn_discounts(counts: DataFrame, col: str) -> tuple[float, float, float]:
+    """Chen–Goodman modified-KN discount triple from the count-of-counts
+    of one level's count table: Y = n1/(n1+2n2), D1 = 1−2Y·n2/n1,
+    D2 = 2−3Y·n3/n2, D3+ = 3−4Y·n4/n3, each clamped to ≥ 0.05 so the
+    backoff mass γ stays strictly positive (positivity is what keeps
+    every interpolated probability finite — the lm_score_kn backoff
+    lesson). Degenerate count-of-counts (any nᵢ = 0, possible on tiny
+    corpora) fall back to the fixed 0.75 discount of the single-D KN."""
+    c = F.col(col)
+    r = counts.agg(
+        F.sum(F.when(c == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(c == 3, 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(c == 4, 1).otherwise(0)).alias("n4"),
+    ).first()
+    n1, n2, n3, n4 = (float(r[k] or 0) for k in ("n1", "n2", "n3", "n4"))
+    if min(n1, n2, n3, n4) <= 0:
+        return (0.75, 0.75, 0.75)
+    y = n1 / (n1 + 2.0 * n2)
+    return (
+        max(1.0 - 2.0 * y * n2 / n1, 0.05),
+        max(2.0 - 3.0 * y * n3 / n2, 0.05),
+        max(3.0 - 4.0 * y * n4 / n3, 0.05),
+    )
+
+
+def _bucket_aggs(c):
+    """Backoff-mass buckets per context: how many continuation types
+    have count exactly 1, exactly 2, and 3+ — the three numerators of
+    the modified-KN γ."""
+    return [
+        F.sum(F.when(c == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(c >= 3, 1).otherwise(0)).alias("n3p"),
+    ]
+
+
+def train_kn5_lm(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> KN5LM:
+    """Count/type tables for order-5 modified Kneser-Ney. Everything is
+    n-gram-keyed groupBys — five raw-count tables over the corpus, then
+    model-table-scale derivations (continuation counts from the next
+    order's TYPE table, per-context denominator+bucket tables, four
+    discount triples from count-of-counts) — the same 'model-table
+    change, not a plan change' trajectory the JM docstring promises,
+    two orders further. Driver scalars: the discount triples, the
+    bigram-type total, and V."""
+    g5 = _doc_ngrams(corpus, 5, id_col, text_col)
+    t5 = g5.groupBy("w1", "w2", "w3", "w4", "w5").agg(F.count("*").alias("c"))
+    c4r = (
+        _doc_ngrams(corpus, 4, id_col, text_col)
+        .groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count("*").alias("c"))
+    )
+    t4types = c4r.select("w1", "w2", "w3", "w4")  # raw 4-gram TYPES
+    t3types = (
+        _doc_ngrams(corpus, 3, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c"))
+        .select("w1", "w2", "w3")
+    )
+    t2types = (
+        _doc_bigrams(corpus, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .select("w1", "w2")
+    )
+    # continuation counts: c'_k(suffix) = |{w : raw (k+1)-gram (w, suffix)}|
+    c4p = t5.groupBy("w2", "w3", "w4", "w5").agg(F.count("*").alias("cc"))
+    c3p = t4types.groupBy("w2", "w3", "w4").agg(F.count("*").alias("cc")).select(
+        F.col("w2").alias("w3"), F.col("w3").alias("w4"), F.col("w4").alias("w5"), "cc"
+    )
+    c2p = t3types.groupBy("w2", "w3").agg(F.count("*").alias("cc")).select(
+        F.col("w2").alias("w4"), F.col("w3").alias("w5"), "cc"
+    )
+    c1p = t2types.groupBy("w2").agg(F.count("*").alias("cc")).select(
+        F.col("w2").alias("w5"), "cc"
+    )
+    # per-context denominator + γ buckets at each interpolated level
+    g5t = t5.groupBy("w1", "w2", "w3", "w4").agg(*_bucket_aggs(F.col("c")))
+    d4 = c4p.groupBy("w2", "w3", "w4").agg(
+        F.sum("cc").alias("den"), *_bucket_aggs(F.col("cc"))
+    )
+    d3 = c3p.groupBy("w3", "w4").agg(
+        F.sum("cc").alias("den"), *_bucket_aggs(F.col("cc"))
+    )
+    d2 = c2p.groupBy("w4").agg(
+        F.sum("cc").alias("den"), *_bucket_aggs(F.col("cc"))
+    )
+    discounts = {
+        5: _mkn_discounts(t5, "c"),
+        4: _mkn_discounts(c4p, "cc"),
+        3: _mkn_discounts(c3p, "cc"),
+        2: _mkn_discounts(c2p, "cc"),
+    }
+    stats = c1p.agg(
+        F.sum("cc").alias("nb"), F.count("*").alias("v")
+    ).first()
+    uni_v = (
+        corpus.select(F.explode(norm_tokens(F.col(text_col))).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    return KN5LM(
+        t5, c4r, g5t, c4p, d4, c3p, d3, c2p, d2, c1p,
+        discounts, int(stats["nb"] or 0), uni_v,
+    )
+
+
+def _mkn_level(count_col, den_col, n1_col, n2_col, n3p_col, ds, lower):
+    """One modified-KN interpolation level as a column expression:
+    (c − D(c))⁺/den + γ/den · lower, with γ = D1·N1 + D2·N2 + D3·N3+
+    over the context's continuation-count buckets. Falls back to `lower`
+    entirely when the context is unseen or has no continuations (den or
+    bucket total 0 — the lm_score_kn NULL-backoff guard generalized)."""
+    d1, d2, d3 = (F.lit(float(d)) for d in ds)
+    c = F.coalesce(count_col, F.lit(0)).cast("double")
+    den = F.coalesce(den_col, F.lit(0)).cast("double")
+    n1 = F.coalesce(n1_col, F.lit(0)).cast("double")
+    n2 = F.coalesce(n2_col, F.lit(0)).cast("double")
+    n3p = F.coalesce(n3p_col, F.lit(0)).cast("double")
+    disc = F.when(c >= 3, d3).when(c == 2, d2).otherwise(d1)
+    gamma = d1 * n1 + d2 * n2 + d3 * n3p
+    return F.when(
+        (den > 0) & (n1 + n2 + n3p > 0),
+        F.greatest(c - disc, F.lit(0.0)) / den + gamma / den * lower,
+    ).otherwise(lower)
+
+
+def lm_score_kn5(
+    docs: DataFrame,
+    model: KN5LM,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_5grams, avg_logp) — mean ln of the order-5 modified
+    (three-discount) Kneser-Ney probability, interpolating five levels:
+
+        P(w5|w1..4) = (c5 − D₅(c5))⁺/c4(w1..4) + γ₅/c4 · P(w5|w2..4)
+        P(w5|w2..4), P(w5|w3w4), P(w5|w4): same shape over the
+            continuation-count chain c'ₖ with denominators Σ c'ₖ(ctx,•)
+        P(w5)       = (N1+(•w5) + α)/(N1+(••) + α·V)
+
+    with per-level discount triples D1/D2/D3 (count-of-counts estimated,
+    `_mkn_discounts`) and γ = D1·N1(ctx•)+D2·N2(ctx•)+D3·N3+(ctx•). The
+    unigram level keeps this engine's add-α continuation floor (the
+    lm_score_kn convention) so every probability is strictly positive —
+    pure modified KN at the floor can zero out on degenerate corpora.
+    Every level backs off fully when its context is unseen OR has no
+    continuations (the lm_score_kn doc-final-bigram guard, applied at
+    all four interpolated levels). Join shape: document 5-grams against
+    ten suffix-keyed model tables — ten equi-joins, zero driver state
+    beyond the discount scalars; at 100 TB every table is n-gram-keyed
+    and AQE picks broadcast vs shuffle per table size."""
+    tg = _doc_ngrams(docs, 5, id_col, text_col)
+    m = model
+    pre = lambda df, p: df.select(  # noqa: E731
+        *[F.col(c).alias(c if c.startswith("w") else f"{p}_{c}") for c in df.columns]
+    )
+    joined = (
+        tg.join(m.t5.withColumnRenamed("c", "l5_c"), ["w1", "w2", "w3", "w4", "w5"], "left")
+        .join(m.c4r.withColumnRenamed("c", "l5_den"), ["w1", "w2", "w3", "w4"], "left")
+        .join(pre(m.g5, "g5"), ["w1", "w2", "w3", "w4"], "left")
+        .join(m.c4p.withColumnRenamed("cc", "l4_c"), ["w2", "w3", "w4", "w5"], "left")
+        .join(pre(m.d4, "d4"), ["w2", "w3", "w4"], "left")
+        .join(m.c3p.withColumnRenamed("cc", "l3_c"), ["w3", "w4", "w5"], "left")
+        .join(pre(m.d3, "d3"), ["w3", "w4"], "left")
+        .join(m.c2p.withColumnRenamed("cc", "l2_c"), ["w4", "w5"], "left")
+        .join(pre(m.d2, "d2"), ["w4"], "left")
+        .join(m.c1p.withColumnRenamed("cc", "l1_c"), ["w5"], "left")
+    )
+    c1 = F.coalesce(F.col("l1_c"), F.lit(0)).cast("double")
+    p1 = (c1 + alpha) / (m.n_bigram_types + alpha * m.vocab_size)
+    p2 = _mkn_level(
+        F.col("l2_c"), F.col("d2_den"), F.col("d2_n1"), F.col("d2_n2"),
+        F.col("d2_n3p"), m.discounts[2], p1,
+    )
+    p3 = _mkn_level(
+        F.col("l3_c"), F.col("d3_den"), F.col("d3_n1"), F.col("d3_n2"),
+        F.col("d3_n3p"), m.discounts[3], p2,
+    )
+    p4 = _mkn_level(
+        F.col("l4_c"), F.col("d4_den"), F.col("d4_n1"), F.col("d4_n2"),
+        F.col("d4_n3p"), m.discounts[4], p3,
+    )
+    p5 = _mkn_level(
+        F.col("l5_c"), F.col("l5_den"), F.col("g5_n1"), F.col("g5_n2"),
+        F.col("g5_n3p"), m.discounts[5], p4,
+    )
+    scored = joined.select("id", F.log(p5).alias("logp"))
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_5grams"),
+        round4(F.avg("logp")).alias("avg_logp"),
+    )

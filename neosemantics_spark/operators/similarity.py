@@ -940,6 +940,8 @@ def semantic_dedup(
     max_bucket: int | None = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scores: DataFrame | None = None,
+    score_col: str = "score",
 ) -> DataFrame:
     """Embedding-space deduplication ACTION (the SemDeDup recipe, Abbas
     et al. 2023): cluster vectors whose cosine similarity transitively
@@ -956,8 +958,17 @@ def semantic_dedup(
     representative (deterministic: the min id, matching the text-side
     `dedup_clusters` convention so mixed text+embedding pipelines agree
     on survivors). Filtering is_rep=1 is the dedup pass; keeping the
-    full table is the audit view."""
-    from .dedup import near_dup_clusters
+    full table is the audit view.
+
+    With `scores` (an (id_col, score_col) table — lm_score,
+    quality_score, nb_score, any numeric signal), the representative is
+    instead the HIGHEST-scoring cluster member via
+    `dedup.elect_cluster_reps` (ties → min id; all-unscored clusters
+    degrade to min-id) — production SemDeDup keeps the best-quality
+    member, not an arbitrary one. cluster_id stays the min member id
+    either way, so cluster identities are stable across the two
+    policies."""
+    from .dedup import elect_cluster_reps, near_dup_clusters
 
     pairs = embedding_near_dups(
         embeddings, threshold, nbits, bands, max_bucket, id_col, vec_col
@@ -965,6 +976,10 @@ def semantic_dedup(
     clusters = near_dup_clusters(
         embeddings.select(F.col(id_col)), pairs.select("a", "b"), id_col=id_col
     )
+    if scores is not None:
+        return elect_cluster_reps(
+            clusters, scores, id_col=id_col, score_col=score_col
+        ).select(id_col, "cluster_id", "is_rep")
     return clusters.select(
         id_col,
         "cluster_id",

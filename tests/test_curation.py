@@ -62,6 +62,73 @@ def test_curate_corpus_stages(spark, corpus):
     assert sum(m["split_counts"].values()) == len(ids)
 
 
+def test_curate_corpus_rep_score_quality(spark):
+    """rep_score='quality' elects the BEST-quality member of a near-dup
+    cluster instead of the min id (VERDICT r5 item 3: elect_cluster_reps
+    wired into the pipeline)."""
+    # docs 1 and 2 are near-dups; doc 2 (higher id) is clearly higher
+    # quality (longer, stopword-bearing prose); doc 9 is a singleton
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the quiet green field toward the old farm house"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " x"),
+            (2, base + " and the sun was warm in the afternoon sky above"),
+            (9, "an entirely different document about spark joins and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    # min-id default keeps doc 1
+    res_min = curate_corpus(docs, None, jaccard_threshold=0.5, lm_quantile=0.0)
+    ids_min = {r["doc_id"] for r in res_min.curated.collect()}
+    assert ids_min == {1, 9}
+    # quality election keeps doc 2
+    res_q = curate_corpus(
+        docs, None, jaccard_threshold=0.5, lm_quantile=0.0, rep_score="quality"
+    )
+    ids_q = {r["doc_id"] for r in res_q.curated.collect()}
+    assert ids_q == {2, 9}
+    assert res_q.metrics["n_after_near_dedup"] == 2
+    # an explicit scores DataFrame overrides: score doc 1 higher
+    scores = spark.createDataFrame([(1, 10.0), (2, 1.0)], ["doc_id", "score"])
+    res_s = curate_corpus(
+        docs, None, jaccard_threshold=0.5, lm_quantile=0.0, rep_score=scores
+    )
+    assert {r["doc_id"] for r in res_s.curated.collect()} == {1, 9}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rep_score"):
+        curate_corpus(docs, None, lm_quantile=0.0, rep_score="nope")
+
+
+def test_checkpoint_rep_score_quality(spark, tmp_path):
+    """rep_score through the incremental path: in-batch cluster election
+    is quality-based; cross-batch policy (historical doc stays
+    canonical) is unchanged."""
+    from neosemantics_spark.curation import CurationCheckpoint
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "through the quiet green field toward the old farm house"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, base + " x"),
+            (2, base + " and the sun was warm in the afternoon sky above"),
+        ],
+        ["doc_id", "text"],
+    )
+    cp = CurationCheckpoint(spark, str(tmp_path / "state"))
+    r1 = cp.run(b1, lm_quantile=0.0, jaccard_threshold=0.5, rep_score="quality")
+    assert {r["doc_id"] for r in r1.curated.collect()} == {2}
+    # a later near-dup of the accepted doc is dropped (history canonical)
+    b2 = spark.createDataFrame([(7, base + " y")], ["doc_id", "text"])
+    r2 = cp.run(b2, lm_quantile=0.0, jaccard_threshold=0.5, rep_score="quality")
+    assert r2.metrics["n_after_near_dedup"] == 0
+
+
 def test_curate_no_bench_keeps_short_docs(spark):
     docs = spark.createDataFrame(
         [(0, "tiny"), (1, "one two"), (2, "spark shuffle join agg scan filter")],

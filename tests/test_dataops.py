@@ -182,6 +182,61 @@ def test_multimodal_real_decode(spark):
     assert list(pdf.payload_sha) == list(pdf2.sort_values("media_id").payload_sha)
 
 
+def test_codec_dispatch_prefers_pil_when_importable(monkeypatch):
+    """The production-codec swap-in point is real: with a (fake) PIL
+    importable, `_image_decoder('auto')` returns the Pillow-backed
+    kernel; without it, the from-scratch kernel; codec='stdlib' pins the
+    fallback regardless. Same contract for soundfile."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from neosemantics_spark.operators.multimodal import (
+        _audio_decoder,
+        _image_decoder,
+        png_decode,
+        wav_decode,
+    )
+
+    # container truth: neither library installed → stdlib kernels
+    name, fn = _image_decoder("auto")
+    assert name == "stdlib" and fn is png_decode
+    name, fn = _audio_decoder("auto")
+    assert name == "stdlib" and fn is wav_decode
+
+    class FakeImg:
+        size = (7, 5)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((5, 7, 3), 9, dtype=np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    name, fn = _image_decoder("auto")
+    assert name == "pil"
+    w, h, means = fn(b"ignored-by-fake")
+    assert (w, h) == (7, 5) and means == [9.0, 9.0, 9.0]
+    # explicit stdlib pin wins even with PIL importable
+    name, fn = _image_decoder("stdlib")
+    assert name == "stdlib" and fn is png_decode
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype: (np.array([3, -3, 3, -3], dtype=np.int16), 8000)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    name, fn = _audio_decoder("auto")
+    assert name == "soundfile"
+    rate, n, rms = fn(b"ignored-by-fake")
+    assert (rate, n) == (8000, 4) and abs(rms - 3.0) < 1e-12
+
+
 def test_png_decoder_all_filter_types():
     """The decoder is a real PNG reader: it must invert every scanline
     filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth), not just the one our

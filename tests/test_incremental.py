@@ -239,3 +239,80 @@ def test_empty_store_tables_raises(spark, tmp_path):
     store = IncrementalGraphStore(spark, str(tmp_path / "empty"), GraphConfig())
     with pytest.raises(ValueError, match="empty"):
         store.tables()
+
+
+def _subjects_batch(spark, subjects, value, commit):
+    body = "".join(
+        f'ind:{s} a voc:Thing .\nind:{s} voc:prop "{value}{s}" .\n'
+        for s in subjects
+    )
+    return _step(spark, body, commit)
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The delta-proportional contract: a second batch touching one
+    subject leaves every other bucket's version pointer at v1 — only the
+    touched bucket is rewritten into v2."""
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    root = str(tmp_path / "buck")
+    store = IncrementalGraphStore(
+        spark, root, cfg, order="arrival", n_buckets=8
+    )
+    t1 = transform_triples(
+        extract_triples(_subjects_batch(spark, range(40), "a", "c0")), cfg
+    )
+    store.merge_batch(t1, "wide")
+    m1 = store._read_manifest()
+    assert set(m1["buckets"]["prop_state"].values()) == {1}
+    n_buckets_v1 = len(m1["buckets"]["prop_state"])
+    assert n_buckets_v1 > 1  # 40 subjects spread over several buckets
+
+    t2 = transform_triples(
+        extract_triples(_subjects_batch(spark, [7], "b", "c1")), cfg
+    )
+    store.merge_batch(t2, "narrow")
+    m2 = store._read_manifest()
+    pointers = m2["buckets"]["prop_state"]
+    moved = [b for b, v in pointers.items() if v == 2]
+    assert len(moved) == 1  # exactly the bucket subject ind:7 hashes to
+    assert len(pointers) == n_buckets_v1  # no bucket lost
+    # state content is still the full merged graph
+    nodes = store.tables().nodes.toPandas()
+    assert len(nodes[nodes.uri.str.startswith("http://example.org/ind/")]) == 40
+    row = nodes[nodes.uri == "http://example.org/ind/7"].iloc[0]
+    assert row["props"]["http://example.org/vocab/prop"] == "b7"
+    row9 = nodes[nodes.uri == "http://example.org/ind/9"].iloc[0]
+    assert row9["props"]["http://example.org/vocab/prop"] == "a9"
+    # untouched buckets still live in the v1 directory on disk
+    assert os.path.isdir(os.path.join(root, "v=000001", "prop_state"))
+
+
+def test_bucketed_compaction_bounds_live_versions(spark, tmp_path):
+    """With max_live_versions=2, a third merge (which would leave
+    pointers across 3 version dirs) compacts everything into one."""
+    cfg = GraphConfig(handle_vocab_uris=KEEP)
+    root = str(tmp_path / "compact")
+    store = IncrementalGraphStore(
+        spark, root, cfg, order="arrival", n_buckets=8, max_live_versions=2
+    )
+    # three batches on disjoint subject ranges → disjoint-ish buckets
+    for i, rng in enumerate((range(0, 12), range(12, 24), range(24, 36))):
+        t = transform_triples(
+            extract_triples(_subjects_batch(spark, rng, "v", f"c{i}")), cfg
+        )
+        store.merge_batch(t)
+    m = store._read_manifest()
+    for table in ("prop_state", "label_state", "uri_state"):
+        assert set(m["buckets"][table].values()) == {3}, table
+    nodes = store.tables().nodes.toPandas()
+    assert len(nodes[nodes.uri.str.startswith("http://example.org/ind/")]) == 36
+    # v1/v2 are still on disk right after compaction (the PREVIOUS
+    # manifest references them — rollback support); one more merge makes
+    # them unreachable and GC removes them
+    t = transform_triples(
+        extract_triples(_subjects_batch(spark, [40], "v", "c3")), cfg
+    )
+    store.merge_batch(t)
+    vdirs = sorted(d for d in os.listdir(root) if d.startswith("v="))
+    assert "v=000001" not in vdirs and "v=000002" not in vdirs
+    assert store.tables().nodes.count() >= 37

@@ -129,6 +129,155 @@ def test_kn_oov_and_ordering(spark, corpus):
     assert math.isfinite(lm.lm_score_kn(part, model, stats).collect()[0]["avg_logp"])
 
 
+def _kn5_reference(train_texts, probe_tokens, alpha=0.1):
+    """Pure-Python replay of train_kn5_lm + lm_score_kn5 for one probe
+    5-gram list — independent dict-based implementation of the same
+    modified-KN definition, used to pin the Spark join program."""
+    import collections
+    import re
+
+    def toks(t):
+        return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    def ngrams(ts, n):
+        out = collections.Counter()
+        for t in ts:
+            tk = toks(t)
+            for i in range(len(tk) - n + 1):
+                out[tuple(tk[i : i + n])] += 1
+        return out
+
+    t5 = ngrams(train_texts, 5)
+    c4r = ngrams(train_texts, 4)
+    t3 = ngrams(train_texts, 3)
+    t2 = ngrams(train_texts, 2)
+    vocab = set()
+    for t in train_texts:
+        vocab.update(toks(t))
+
+    def conts(types):  # c'(suffix) = #distinct first words
+        out = collections.Counter()
+        for g in types:
+            out[g[1:]] += 1
+        return out
+
+    c4p, c3p, c2p, c1p = conts(t5), conts(c4r), conts(t3), conts(t2)
+
+    def discounts(counts):
+        cc = collections.Counter(counts.values())
+        n1, n2, n3, n4 = (float(cc.get(i, 0)) for i in (1, 2, 3, 4))
+        if min(n1, n2, n3, n4) <= 0:
+            return (0.75, 0.75, 0.75)
+        y = n1 / (n1 + 2 * n2)
+        return (
+            max(1 - 2 * y * n2 / n1, 0.05),
+            max(2 - 3 * y * n3 / n2, 0.05),
+            max(3 - 4 * y * n4 / n3, 0.05),
+        )
+
+    ds = {5: discounts(t5), 4: discounts(c4p), 3: discounts(c3p), 2: discounts(c2p)}
+    nb = float(sum(c1p.values()))
+
+    def buckets(counts, ctx_len):
+        out = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+        for g, c in counts.items():
+            b = out[g[:ctx_len]]
+            if c == 1:
+                b[0] += 1
+            elif c == 2:
+                b[1] += 1
+            else:
+                b[2] += 1
+        return out
+
+    g5b = buckets(t5, 4)
+    d4b, d3b, d2b = buckets(c4p, 3), buckets(c3p, 2), buckets(c2p, 1)
+    dens = {
+        4: collections.Counter(),
+        3: collections.Counter(),
+        2: collections.Counter(),
+    }
+    for g, c in c4p.items():
+        dens[4][g[:3]] += c
+    for g, c in c3p.items():
+        dens[3][g[:2]] += c
+    for g, c in c2p.items():
+        dens[2][g[:1]] += c
+
+    def level(c, den, bkt, d, lower):
+        n1, n2, n3p = bkt
+        if den <= 0 or (n1 + n2 + n3p) <= 0:
+            return lower
+        disc = d[2] if c >= 3 else (d[1] if c == 2 else d[0])
+        gamma = d[0] * n1 + d[1] * n2 + d[2] * n3p
+        return max(c - disc, 0.0) / den + gamma / den * lower
+
+    g = tuple(probe_tokens)
+    p = (c1p.get(g[4:], 0) + alpha) / (nb + alpha * len(vocab))
+    p = level(c2p.get(g[3:], 0), dens[2].get(g[3:4], 0), d2b.get(g[3:4], [0, 0, 0]), ds[2], p)
+    p = level(c3p.get(g[2:], 0), dens[3].get(g[2:4], 0), d3b.get(g[2:4], [0, 0, 0]), ds[3], p)
+    p = level(c4p.get(g[1:], 0), dens[4].get(g[1:4], 0), d4b.get(g[1:4], [0, 0, 0]), ds[4], p)
+    p = level(
+        t5.get(g, 0), c4r.get(g[:4], 0),
+        g5b.get(g[:4], [0, 0, 0]), ds[5], p,
+    )
+    return p
+
+
+def test_kn5_matches_python_reference(spark):
+    """lm_score_kn5's ten-table join program must agree with an
+    independent dict-based modified-KN implementation on every scored
+    5-gram shape: seen, partially-seen, doc-final-context, fully OOV."""
+    train = [
+        "the cat sat on the mat by the door near the cat sat on a rug",
+        "the cat sat on the rug in the hall and the dog lay on the mat",
+        "a dog ran through the field and the cat sat on the mat again",
+        "one two three four five six seven one two three four five",
+    ]
+    corpus = spark.createDataFrame(
+        [(i * 2, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    model = lm.train_kn5_lm(corpus)
+    probes = [
+        (1, "the cat sat on the"),      # fully seen
+        (3, "by the door near zzz"),    # OOV last word
+        (5, "zzz qqq www eee rrr"),     # fully OOV
+        (7, "five six seven one two"),  # seen via second doc
+        (9, "a rug the cat sat"),       # doc-final 4-gram context
+    ]
+    scored = {
+        r["doc_id"]: r
+        for r in lm.lm_score_kn5(
+            spark.createDataFrame(probes, ["doc_id", "text"]), model
+        ).collect()
+    }
+    for pid, text in probes:
+        want_p = _kn5_reference(train, text.split())
+        want = math.floor(math.log(want_p) * 10000 + 0.5) / 10000
+        got = scored[pid]["avg_logp"]
+        assert scored[pid]["n_5grams"] == 1
+        assert got is not None and math.isfinite(got), (pid, text)
+        assert got == pytest.approx(want, abs=1e-9), (pid, text, got, want)
+
+
+def test_kn5_ordering_and_guards(spark):
+    train = [
+        (0, "the cat sat on the mat by the door and the dog lay near the rug"),
+        (2, "a cat ran over the mat and sat on the rug by the door again"),
+    ]
+    corpus = spark.createDataFrame(train, ["doc_id", "text"])
+    model = lm.train_kn5_lm(corpus)
+    seen = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    gib = spark.createDataFrame([(3, "zxq wvut plonk blarg fnord grot")], ["doc_id", "text"])
+    s = lm.lm_score_kn5(seen, model).collect()[0]["avg_logp"]
+    g = lm.lm_score_kn5(gib, model).collect()[0]["avg_logp"]
+    assert s > g and math.isfinite(g)
+    # short docs emit no 5-grams
+    assert lm.lm_score_kn5(
+        spark.createDataFrame([(5, "one two three four")], ["doc_id", "text"]), model
+    ).count() == 0
+
+
 def test_kn_doc_final_bigram_context_backs_off(spark, corpus):
     """A context bigram seen ONLY document-finally has c(w1w2)>0 but
     N1+(w1w2•)=0; with c3=0 the top level must back off to p2 instead of
