@@ -156,6 +156,64 @@ def q_kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_kg_sameas_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental entity-linking REFRESH (VERDICT r5 item 6): two
+    batches merge into the IncrementalGraphStore WITHOUT sameAs fusion
+    (batch 1 = every doc's `voc:lang` triple for even doc_ids, batch 2 =
+    odd doc_ids' triples PLUS `<doc/i> owl:sameAs <doc/(i-1)>` links for
+    doc_id % 10 == 1 — cross-batch merges by construction), then
+    `tables_canonicalized()` applies the periodic sameAs reconcile as a
+    view-level remap + algebraic re-aggregation. The oracle derives the
+    expected canonicalized nodes analytically: the %10==1 docs vanish
+    into their even partners, whose lang value is OVERWRITTEN by the odd
+    doc's row (canonical statement order: path 'doc_<i>' sorts after
+    'doc_<i-1>' within a pair), and the sameAs statements themselves
+    leave no uri behind."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.operators.incremental import IncrementalGraphStore
+
+    docs = _docs(spark, sf)
+    subj = F.concat(F.lit(f"<{DOC}"), F.col("doc_id").cast("string"), F.lit(">"))
+    prev = F.concat(F.lit(f"<{DOC}"), (F.col("doc_id") - 1).cast("string"), F.lit(">"))
+    lang_triple = F.concat(
+        subj, F.lit(f' <{VOC}lang> "'), F.col("lang"), F.lit('" .\n')
+    )
+    content = F.when(
+        F.col("doc_id") % 10 == 1,
+        F.concat(lang_triple, subj, F.lit(f" <{OWL_SAMEAS}> "), prev, F.lit(" .\n")),
+    ).otherwise(lang_triple)
+    src = docs.select(
+        F.lit("org/docs").alias("repo"),
+        F.concat(F.lit("data/doc_"), F.col("doc_id").cast("string"), F.lit(".nt")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.lit("N-Triples").alias("lang"),
+        content.alias("content"),
+    )
+    did = F.regexp_extract("path", r"doc_(\d+)\.nt", 1).cast("long")
+    cfg = _kg_cfg()
+    root = tempfile.mkdtemp(prefix="kg_refresh_")
+    try:
+        store = IncrementalGraphStore(spark, root, cfg, order="canonical")
+        store.merge_batch(
+            transform_triples(extract_triples(src.filter(did % 2 == 0)), cfg), "even"
+        )
+        store.merge_batch(
+            transform_triples(extract_triples(src.filter(did % 2 == 1)), cfg), "odd"
+        )
+        t = store.tables_canonicalized()
+        lang_val = t.node_props.filter(F.col("prop") == f"{VOC}lang").select(
+            "uri", F.col("values")[0].alias("lang_val")
+        )
+        out = t.nodes.select("uri", F.size("props").alias("n_props")).join(
+            lang_val, "uri", "left"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     src = src_files_from_documents(spark, sf, "N-Triples")
     raw = extract_triples(src)
@@ -461,12 +519,26 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF coarse quantization: every vector assigned to its nearest
-    deterministic centroid (the sqrt-scaling ANN path alongside LSH)."""
+    """IVF coarse quantization THROUGH the persisted index artifact
+    (round 6): write_ann_index trains the deterministic centroids and
+    commits the assignments (manifest + HEAD), read_ann_index reopens
+    the snapshot, and the returned table is the loaded artifact — the
+    oracle (unchanged) pins that the save→load round trip is exact."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.operators import ann_index
+
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return similarity.ivf_assign(emb, n_centroids=16).select(
-        F.col("id").alias("vec_id"), "centroid_id", "dist"
-    )
+    root = tempfile.mkdtemp(prefix="ann_idx_")
+    try:
+        ann_index.write_ann_index(emb, root, n_centroids=16)
+        idx = ann_index.read_ann_index(spark, root)
+        return idx.assignments.select(
+            F.col("id").alias("vec_id"), "centroid_id", "dist"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_decontam(spark: SparkSession, sf: str) -> DataFrame:
@@ -1256,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_incremental": q_kg_incremental,
+        "kg_sameas_refresh": q_kg_sameas_refresh,
         "kg_shorten": q_kg_shorten,
         "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
@@ -1685,6 +1758,17 @@ SELECT '{DOC}' || doc_id AS uri, '{VOC}Document' AS labels_str, 3 AS n_props,
 FROM documents
 UNION ALL
 SELECT DISTINCT '{DOC}src/' || source, '', 0, CAST(NULL AS VARCHAR) FROM documents
+"""
+    # sameAs refresh: the %10==1 docs merge into their even partners
+    # (component = min uri of the pair), the pair's lang prop is last-
+    # wins by canonical order (the odd doc's path sorts later), and the
+    # sameAs rows leave no uri behind
+    out["kg_sameas_refresh"] = f"""
+SELECT '{DOC}' || d.doc_id AS uri, 1 AS n_props,
+       coalesce(d2.lang, d.lang) AS lang_val
+FROM documents d
+LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1 AND d.doc_id % 10 = 0
+WHERE d.doc_id % 10 <> 1
 """
     out["kg_edges"] = f"""
 SELECT '{DOC}' || doc_id AS src, '{VOC}source' AS rel, '{DOC}src/' || source AS dst FROM documents

@@ -106,6 +106,7 @@ v:EntityShape a sh:NodeShape ; sh:targetClass v:Entity ;
         "nb_classify",
         "semantic_dedup",
         "lm_score_trigram",
+        "lm_score_kn5",
         "events_window",
         "orders_rdf",
     ):

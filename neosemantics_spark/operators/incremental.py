@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ARRAY, LABELS, LABELS_AND_NODES, NODES, GraphConfig
-from ..rdf.terms import RDF_TYPE
+from ..rdf.terms import OWL_SAMEAS, RDF_TYPE
 from .materialize import GraphTables, _ord
 from .transforms import split_star_rows
 
@@ -99,6 +99,10 @@ def _cfg_fingerprint(
         "with_graph_identity": with_graph_identity,
         "order": order,
         "n_buckets": n_buckets,
+        # bumped when the persisted state-table schemas change (r6:
+        # bucketed layout + uri_state.has_real) — old roots refuse loudly
+        # instead of failing on a missing column mid-merge
+        "state_schema": 2,
     }
     return hashlib.sha256(
         json.dumps(payload, sort_keys=True, default=str).encode()
@@ -367,11 +371,23 @@ class IncrementalGraphStore:
             .groupBy("src", "_raw_rel", "dst", "prop")
             .agg(F.max("_o").alias("last_o"), F.max_by("value", "_o").alias("value"))
         )
+        # has_real marks provenance from a non-owl:sameAs statement: the
+        # canonical refresh (`tables_canonicalized`) must drop uris whose
+        # ONLY provenance is sameAs rows, because the full-recompute
+        # pipeline canonicalizes and then DROPS those statements
+        # (cc.canonicalize_triples drop_sameas) before materializing
+        real = F.col("predicate") != OWL_SAMEAS
         uri = (
-            regular.select(F.col("subject").alias("uri"), "gkey", "graph")
-            .unionByName(obj_rows.select(F.col("object").alias("uri"), "gkey", "graph"))
+            regular.select(
+                F.col("subject").alias("uri"), "gkey", "graph", real.alias("has_real")
+            )
+            .unionByName(
+                obj_rows.select(
+                    F.col("object").alias("uri"), "gkey", "graph", real.alias("has_real")
+                )
+            )
             .groupBy("uri", "gkey")
-            .agg(F.min("graph").alias("g_min"))
+            .agg(F.min("graph").alias("g_min"), F.max("has_real").alias("has_real"))
         )
         return {
             "prop_state": prop,
@@ -384,7 +400,17 @@ class IncrementalGraphStore:
 
     @staticmethod
     def _merge(table: str, old: DataFrame, new: DataFrame, need_arrays: bool) -> DataFrame:
-        u = old.unionByName(new)
+        return IncrementalGraphStore._reaggregate(
+            table, old.unionByName(new), need_arrays
+        )
+
+    @staticmethod
+    def _reaggregate(table: str, u: DataFrame, need_arrays: bool) -> DataFrame:
+        """Re-run one state table's aggregation over an arbitrary row set
+        — the merge function applied to a union (merge_batch) or to a
+        remapped state (tables_canonicalized). Every aggregate is
+        algebraic with a single-row fixpoint, so this is also an
+        identity on untouched groups."""
         if table == "prop_state":
             aggs = [
                 F.max("last_ord").alias("last_ord"),
@@ -418,7 +444,9 @@ class IncrementalGraphStore:
                 F.max_by("value", "last_o").alias("value"),
             )
         if table == "uri_state":
-            return u.groupBy("uri", "gkey").agg(F.min("g_min").alias("g_min"))
+            return u.groupBy("uri", "gkey").agg(
+                F.min("g_min").alias("g_min"), F.max("has_real").alias("has_real")
+            )
         raise ValueError(table)
 
     # ----------------------------------------------------------------- API
@@ -521,16 +549,129 @@ class IncrementalGraphStore:
     def tables(self) -> GraphTables:
         """GraphTables derived from the current state — column-for-column
         the `materialize` output over the union of merged batches."""
-        cfg = self.cfg
         if self.version() == 0:
             raise ValueError("IncrementalGraphStore is empty — merge a batch first")
-        prop = self._state("prop_state")
-        label = self._state("label_state")
-        edge = self._state("edge_state")
-        rel_raw = self._state("rel_raw_state")
-        star = self._state("star_state")
-        uri = self._state("uri_state")
+        return self._derive_tables(
+            self._state("prop_state"),
+            self._state("label_state"),
+            self._state("edge_state"),
+            self._state("rel_raw_state"),
+            self._state("star_state"),
+            self._state("uri_state"),
+        )
 
+    def canonical_remap(self) -> DataFrame:
+        """(uri, component) over the owl:sameAs cliques recorded in the
+        store — the periodic entity-linking reconcile (VERDICT r5 item
+        6). sameAs fusion is corpus-global (a new edge can merge nodes
+        distinct in every earlier batch — the documented reason the
+        per-batch merge excludes it), so the refresh runs the engine's
+        skew-hardened CC over the STORE's derived sameAs edge list
+        (rel_raw_state keeps the raw predicate exactly so this filter is
+        precise), never over corpus history. Reference semantics:
+        CommonProcedures.java:41-43 uri uniqueness."""
+        from .cc import connected_components
+
+        if self.version() == 0:
+            raise ValueError("IncrementalGraphStore is empty — merge a batch first")
+        edges = (
+            self._state("rel_raw_state")
+            .filter(F.col("_raw_rel") == OWL_SAMEAS)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+        )
+        return connected_components(edges)
+
+    def tables_canonicalized(
+        self, comp: Optional[DataFrame] = None, broadcast_limit: int = 100_000
+    ) -> GraphTables:
+        """GraphTables with owl:sameAs entity linking applied as a
+        VIEW-level remap + algebraic re-aggregation over the state — NOT
+        a state rewrite: the store stays canonical-free (append-only
+        merges keep working), and this derivation equals
+        `materialize(canonicalize_triples(transform(union)))`
+        column-for-column (pinned by test_incremental +
+        the `kg_sameas_refresh` driver oracle). Why the equality holds:
+        every state aggregate is algebraic, so re-aggregating remapped
+        partial-aggregate rows with the same merge functions IS
+        aggregating the remapped row set.
+
+        Parity details mirrored from `cc.canonicalize_triples`:
+        - sameAs statements themselves are dropped (edge/rel_raw rows
+          identified via rel_raw_state's raw predicate; uris whose only
+          provenance was a sameAs row are dropped via the has_real
+          flag). Caveat (documented, matching the full pipeline's own
+          ambiguity): a DIFFERENT raw predicate transforming to the same
+          rel name between the same endpoints would be dropped with it.
+        - RDF-star rows are NOT remapped (canonicalize_triples leaves
+          sspo untouched), so star props on remapped edges drop out of
+          the join exactly as they do in the full pipeline.
+        """
+        if comp is None:
+            comp = self.canonical_remap()
+        comp = comp.localCheckpoint(eager=True)
+        small = comp.limit(broadcast_limit + 1).count() <= broadcast_limit
+        cmap = F.broadcast(comp) if small else comp
+
+        def remap(df: DataFrame, cols: list) -> DataFrame:
+            for c in cols:
+                df = (
+                    df.join(
+                        cmap.select(
+                            F.col("uri").alias(c), F.col("component").alias(f"_c_{c}")
+                        ),
+                        c,
+                        "left",
+                    )
+                    .withColumn(c, F.coalesce(f"_c_{c}", c))
+                    .drop(f"_c_{c}")
+                )
+            return df
+
+        na = self.need_arrays
+        rel_raw0 = self._state("rel_raw_state")
+        sameas_keys = rel_raw0.filter(F.col("_raw_rel") == OWL_SAMEAS).select(
+            "src", "rel", "dst"
+        )
+        prop = self._reaggregate(
+            "prop_state", remap(self._state("prop_state"), ["subject"]), na
+        )
+        label = self._reaggregate(
+            "label_state", remap(self._state("label_state"), ["subject"]), na
+        )
+        edge = self._reaggregate(
+            "edge_state",
+            remap(
+                self._state("edge_state").join(
+                    sameas_keys, ["src", "rel", "dst"], "left_anti"
+                ),
+                ["src", "dst"],
+            ),
+            na,
+        )
+        rel_raw = self._reaggregate(
+            "rel_raw_state",
+            remap(rel_raw0.filter(F.col("_raw_rel") != OWL_SAMEAS), ["src", "dst"]),
+            na,
+        )
+        uri = self._reaggregate(
+            "uri_state", remap(self._state("uri_state"), ["uri"]), na
+        ).filter(F.col("has_real"))
+        return self._derive_tables(
+            prop, label, edge, rel_raw, self._state("star_state"), uri
+        )
+
+    def _derive_tables(
+        self,
+        prop: DataFrame,
+        label: DataFrame,
+        edge: DataFrame,
+        rel_raw: DataFrame,
+        star: DataFrame,
+        uri: DataFrame,
+    ) -> GraphTables:
+        cfg = self.cfg
         mixed = F.col("vt_min") != F.col("vt_max")
         per_prop = prop.withColumn("n_types", F.when(mixed, 2).otherwise(1))
         if self.need_arrays:

@@ -685,15 +685,33 @@ def ivf_topk(
     (VERDICT r2 / ADVICE r2). `assign_k` > 1 turns on multi-assignment
     (see ivf_assign); candidates reachable through several lists are
     deduped before scoring."""
-    from pyspark.sql.window import Window
-
     cents = ivf_centroids(
         embeddings, n_centroids, refine_iters, id_col, vec_col
     ).localCheckpoint(eager=True)
     assign = ivf_assign(
         embeddings, id_col=id_col, vec_col=vec_col, centroids=cents, assign_k=assign_k
     )
-    vecs0 = _double_vecs(embeddings, id_col, vec_col)
+    return _ivf_probe_topk(
+        _double_vecs(embeddings, id_col, vec_col),
+        cents, assign, query_ids, k, n_probe, assign_k,
+    )
+
+
+def _ivf_probe_topk(
+    vecs0: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    query_ids: list,
+    k: int,
+    n_probe: int,
+    assign_k: int,
+) -> DataFrame:
+    """The probe half of IVF top-k over an EXISTING (centroids,
+    assignments) pair — shared by `ivf_topk` (inline derivation) and
+    `ann_index.ann_index_topk` (loaded artifact). `vecs0` is the
+    (id, v double-array) corpus table."""
+    from pyspark.sql.window import Window
+
     vecs = vecs0.join(assign.select("id", "centroid_id"), "id")
     # queries come from the UN-replicated vector table: with assign_k > 1
     # the assignment join emits one row per (vector, list) and a query

@@ -857,6 +857,80 @@ def test_ivf_assign_auto_dispatch(spark, emb):
     assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
 
 
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_ann_index_save_load_roundtrip(spark, emb, tmp_path):
+    """load(write(X)).assignments must equal ivf_assign(X) row-for-row,
+    and topk through the loaded index must equal inline ivf_topk."""
+    from neosemantics_spark.operators import ann_index
+
+    path = str(tmp_path / "annidx")
+    ann_index.write_ann_index(emb, path, n_centroids=16)
+    idx = ann_index.read_ann_index(spark, path)
+    assert idx.n_centroids == 16 and idx.assign_k == 1
+    inline = similarity.ivf_assign(emb, n_centroids=16)
+    assert _sorted_pdf(idx.assignments).equals(_sorted_pdf(inline))
+    got = ann_index.ann_index_topk(idx, emb, list(range(5)), k=5, n_probe=4)
+    want = similarity.ivf_topk(emb, list(range(5)), k=5, n_centroids=16, n_probe=4)
+    assert _sorted_pdf(got).equals(_sorted_pdf(want))
+
+
+def test_ann_index_append_equals_rebuild(spark, emb, tmp_path):
+    """write(b1) + append(b2) == write(b1 ∪ b2) under the FROZEN centroid
+    table — assignment is per-row independent given the quantizer."""
+    from pyspark.sql import functions as F
+
+    from neosemantics_spark.operators import ann_index
+
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    ann_index.write_ann_index(b1, inc, n_centroids=16)
+    bid = ann_index.append_ann_index(b2, inc)
+    inc_idx = ann_index.read_ann_index(spark, inc)
+    full = str(tmp_path / "full")
+    ann_index.write_ann_index(
+        emb, full, centroids=inc_idx.centroids
+    )
+    full_idx = ann_index.read_ann_index(spark, full)
+    assert _sorted_pdf(inc_idx.assignments).equals(_sorted_pdf(full_idx.assignments))
+    # replaying the same append commits once (idempotent)
+    bid2 = ann_index.append_ann_index(b2, inc, validate_ids=False)
+    assert bid == bid2
+    from neosemantics_spark.operators.search import _idx_manifest
+
+    assert _idx_manifest(inc)["batches"].count(bid) == 1
+
+
+def test_ann_index_guards(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    from neosemantics_spark.operators import ann_index
+
+    path = str(tmp_path / "g")
+    with _pytest.raises(ValueError, match="write_ann_index first"):
+        ann_index.append_ann_index(emb, path)
+    ann_index.write_ann_index(emb.filter("vec_id < 100"), path, n_centroids=8)
+    # overlapping ids refused
+    with _pytest.raises(ValueError, match="already indexed"):
+        ann_index.append_ann_index(emb.filter("vec_id >= 50"), path)
+    # a crashed append (batch dir written, no commit) is invisible
+    import os
+
+    n_before = ann_index.read_ann_index(spark, path).assignments.count()
+    os.makedirs(os.path.join(path, "assignments", "batch=dead"), exist_ok=True)
+    assert ann_index.read_ann_index(spark, path).assignments.count() == n_before
+    # remote schemes refused (POSIX manifest + Spark parquet split hazard)
+    with _pytest.raises(ValueError, match="URI scheme"):
+        ann_index.write_ann_index(emb, "s3a://bucket/idx")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        ann_index.read_ann_index(spark, "hdfs://nn/idx")
+
+
 def test_elect_cluster_reps(spark):
     clusters = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
