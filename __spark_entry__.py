@@ -214,6 +214,48 @@ def q_kg_sameas_refresh(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _doc_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synthetic KG edge set over the documents table:
+    every doc i (except the dangling %10==0 nodes) links to
+    doc (2i+1 mod n) and doc (7i+13 mod n) — gcd(7,n)=1 for the sf doc
+    counts, so every node is reachable as a dst; the %10==0 nodes have
+    in-edges but no out-edges, exercising dangling-mass handling."""
+    docs = _docs(spark, sf).select("doc_id")
+    n = docs.count()
+    src = F.concat(F.lit(DOC), F.col("doc_id").cast("string"))
+    linked = docs.filter(F.col("doc_id") % 10 != 0)
+    e1 = linked.select(
+        src.alias("src"),
+        F.concat(F.lit(DOC), ((F.col("doc_id") * 2 + 1) % n).cast("string")).alias("dst"),
+    )
+    e2 = linked.select(
+        src.alias("src"),
+        F.concat(F.lit(DOC), ((F.col("doc_id") * 7 + 13) % n).cast("string")).alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def q_kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration synchronous PageRank over the synthetic doc
+    graph (d=0.85, 5 iterations, uniform dangling-mass repayment) — the
+    entity-importance signal a KG-aware curation pass ranks by. The
+    oracle unrolls the same five iterations as chained CTEs, so the
+    iterative Spark loop (join + map-side-combined sum per round, rank
+    vector pinned each iteration) is value-checked end to end."""
+    from neosemantics_spark.operators.graphalg import pagerank
+
+    return pagerank(_doc_graph_edges(spark, sf)).select("uri", "rank_x1000")
+
+
+def q_kg_degrees(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural degree profile of the synthetic doc graph."""
+    from neosemantics_spark.operators.graphalg import degree_stats
+
+    return degree_stats(_doc_graph_edges(spark, sf)).select(
+        "uri", "out_degree", "in_degree"
+    )
+
+
 def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     src = src_files_from_documents(spark, sf, "N-Triples")
     raw = extract_triples(src)
@@ -1329,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_incremental": q_kg_incremental,
         "kg_sameas_refresh": q_kg_sameas_refresh,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_degrees": q_kg_degrees,
         "kg_shorten": q_kg_shorten,
         "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
@@ -1758,6 +1802,59 @@ SELECT '{DOC}' || doc_id AS uri, '{VOC}Document' AS labels_str, 3 AS n_props,
 FROM documents
 UNION ALL
 SELECT DISTINCT '{DOC}src/' || source, '', 0, CAST(NULL AS VARCHAR) FROM documents
+"""
+    # PageRank: the five synchronous iterations unrolled as chained CTEs
+    # (dangling-mass scalar + contribution sum + rank update per round),
+    # replaying graphalg.pagerank's loop value-exactly — float-sum order
+    # noise (~1e-16/iter) is far below the output grid
+    _pr_iters = "".join(
+        f""",
+dang{t} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{t - 1} WHERE outdeg IS NULL),
+c{t} AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r{t - 1} r ON e.src = r.uri GROUP BY 1
+),
+r{t} AS (
+  SELECT b.uri, b.outdeg,
+         (1 - 0.85) / nn.n + 0.85 * (coalesce(c.in_c, 0) + dang{t}.m / nn.n) AS rank
+  FROM base b LEFT JOIN c{t} c USING (uri) CROSS JOIN nn CROSS JOIN dang{t}
+)"""
+        for t in range(1, 6)
+    )
+    out["kg_pagerank"] = f"""
+WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents),
+e AS (
+  SELECT '{DOC}' || doc_id AS src,
+         '{DOC}' || ((doc_id * 2 + 1) % (SELECT ni FROM nn)) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT '{DOC}' || doc_id,
+         '{DOC}' || ((doc_id * 7 + 13) % (SELECT ni FROM nn))
+  FROM documents WHERE doc_id % 10 <> 0
+),
+nodes AS (SELECT src AS uri FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS uri, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+base AS (SELECT n.uri, d.outdeg FROM nodes n LEFT JOIN deg d USING (uri)),
+r0 AS (SELECT uri, outdeg, 1.0 / nn.n AS rank FROM base CROSS JOIN nn){_pr_iters}
+SELECT uri, floor(rank * 1000 * 10000 + 0.5) / 10000 AS rank_x1000 FROM r5
+"""
+    out["kg_degrees"] = f"""
+WITH nn AS (SELECT count(*) AS ni FROM documents),
+e AS (
+  SELECT '{DOC}' || doc_id AS src,
+         '{DOC}' || ((doc_id * 2 + 1) % (SELECT ni FROM nn)) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT '{DOC}' || doc_id,
+         '{DOC}' || ((doc_id * 7 + 13) % (SELECT ni FROM nn))
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT uri,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree
+FROM (SELECT src AS uri FROM e UNION SELECT dst FROM e) n
+LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY 1) o ON n.uri = o.src
+LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY 1) i ON n.uri = i.dst
 """
     # sameAs refresh: the %10==1 docs merge into their even partners
     # (component = min uri of the pair), the pair's lang prop is last-

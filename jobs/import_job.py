@@ -44,6 +44,16 @@ def main() -> None:
         "kg_sameas_cc over the derived tables instead).",
     )
     ap.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="(with --incremental) run the periodic sameAs reconcile: "
+        "connected components over the store's owl:sameAs edges, applied "
+        "as a view-level remap + re-aggregation to THIS run's output "
+        "tables (tables_canonicalized — the state itself stays "
+        "canonical-free and append-only). The out-of-band refresh that "
+        "replaces per-batch entity linking in steady-state mode.",
+    )
+    ap.add_argument(
         "--shapes",
         default=None,
         help="SHACL shapes Turtle file: imported into the checkpoint's "
@@ -53,6 +63,13 @@ def main() -> None:
         "imported shapes (if any) still validate the delta.",
     )
     args = ap.parse_args()
+    if args.canonicalize and not args.incremental:
+        sys.exit(
+            "--canonicalize applies the sameAs reconcile to the "
+            "incremental store's derived tables — it requires "
+            "--incremental (the full-recompute path already does entity "
+            "linking unless --no-entity-linking)."
+        )
 
     from pyspark.sql import SparkSession
 
@@ -100,7 +117,8 @@ def main() -> None:
             sys.exit(
                 "--incremental requires --no-entity-linking: owl:sameAs "
                 "fusion is corpus-global and invalidates per-node state; "
-                "run the sameAs CC over the derived tables instead."
+                "use --canonicalize for the view-level reconcile refresh "
+                "over the derived tables instead."
             )
         delta = res.triples.filter(F.col("parse_error").isNull()).cache()
         ns_path = os.path.join(args.checkpoint, "ns_prefixes.json")
@@ -124,7 +142,7 @@ def main() -> None:
             order="arrival",
         )
         store.merge_batch(transform_triples(delta, cfg, ns), batch_id=res.run_id)
-        tables = store.tables()
+        tables = store.tables_canonicalized() if args.canonicalize else store.tables()
     else:
         # full-recompute mode: the graph ACCUMULATES across runs — only
         # the delta was parsed (the expensive Arrow-batched Python
