@@ -256,6 +256,36 @@ def q_kg_degrees(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kg_khop(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop out-neighborhood of the %97==0 anchor docs — the subgraph
+    sampler a KG-aware curation pass uses to pick documents around seed
+    entities. Frontier BFS with per-hop visited anti-join; the oracle
+    unrolls the three expansions and takes min(hop) per node (a node
+    first reached at depth d appears in the oracle's level-d set, so the
+    min equals the BFS distance)."""
+    from neosemantics_spark.operators.graphalg import k_hop
+
+    docs = _docs(spark, sf)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit(DOC), F.col("doc_id").cast("string")).alias("uri")
+    )
+    return k_hop(_doc_graph_edges(spark, sf), seeds, k=3, direction="out").select(
+        "uri", "hop"
+    )
+
+
+def q_kg_labelprop(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label propagation (4 rounds, lexicographic-min tie
+    break) over the undirected doc graph — entity community detection
+    for cluster-balanced sampling. The oracle replays each round as a
+    vote-count CTE + row_number pick, including the self-loop drop."""
+    from neosemantics_spark.operators.graphalg import label_propagation
+
+    return label_propagation(_doc_graph_edges(spark, sf), iters=4).select(
+        "uri", "community"
+    )
+
+
 def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     src = src_files_from_documents(spark, sf, "N-Triples")
     raw = extract_triples(src)
@@ -1373,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_refresh": q_kg_sameas_refresh,
         "kg_pagerank": q_kg_pagerank,
         "kg_degrees": q_kg_degrees,
+        "kg_khop": q_kg_khop,
+        "kg_labelprop": q_kg_labelprop,
         "kg_shorten": q_kg_shorten,
         "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
@@ -1855,6 +1887,62 @@ SELECT uri,
 FROM (SELECT src AS uri FROM e UNION SELECT dst FROM e) n
 LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY 1) o ON n.uri = o.src
 LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY 1) i ON n.uri = i.dst
+"""
+    # shared doc-graph edge CTE for the k-hop / label-prop oracles
+    _dg_e = f"""
+WITH nn AS (SELECT count(*) AS ni FROM documents),
+e AS (
+  SELECT '{DOC}' || doc_id AS src,
+         '{DOC}' || ((doc_id * 2 + 1) % (SELECT ni FROM nn)) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT '{DOC}' || doc_id,
+         '{DOC}' || ((doc_id * 7 + 13) % (SELECT ni FROM nn))
+  FROM documents WHERE doc_id % 10 <> 0
+)"""
+    # k-hop: three expansions unrolled; a node first reached at depth d
+    # appears in level set h_d, so min(hop) == the BFS distance the
+    # Spark frontier/anti-join loop assigns
+    out["kg_khop"] = f"""{_dg_e},
+h0 AS (SELECT '{DOC}' || doc_id AS uri FROM documents WHERE doc_id % 97 = 0),
+h1 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN h0 ON e.src = h0.uri),
+h2 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN h1 ON e.src = h1.uri),
+h3 AS (SELECT DISTINCT e.dst AS uri FROM e JOIN h2 ON e.src = h2.uri),
+lv AS (
+  SELECT uri, 0 AS hop FROM h0
+  UNION ALL SELECT uri, 1 FROM h1
+  UNION ALL SELECT uri, 2 FROM h2
+  UNION ALL SELECT uri, 3 FROM h3
+)
+SELECT uri, CAST(min(hop) AS INTEGER) AS hop FROM lv GROUP BY uri
+"""
+    # label propagation: four synchronous rounds unrolled — per round a
+    # neighbor-label vote count and a (count desc, label asc) pick,
+    # replaying graphalg.label_propagation's min_by(struct(-cnt, lbl))
+    _lp_rounds = "".join(
+        f""",
+v{t} AS (
+  SELECT u.src AS uri, l.community AS lbl, count(*) AS c
+  FROM und u JOIN l{t - 1} l ON u.dst = l.uri GROUP BY 1, 2
+),
+l{t} AS (
+  SELECT uri, lbl AS community FROM (
+    SELECT uri, lbl,
+           row_number() OVER (PARTITION BY uri ORDER BY c DESC, lbl) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+)"""
+        for t in range(1, 5)
+    )
+    out["kg_labelprop"] = f"""{_dg_e},
+und AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e WHERE src <> dst
+),
+nodes AS (SELECT src AS uri FROM und UNION SELECT dst AS uri FROM und),
+l0 AS (SELECT uri, uri AS community FROM nodes){_lp_rounds}
+SELECT uri, community FROM l4
 """
     # sameAs refresh: the %10==1 docs merge into their even partners
     # (component = min uri of the pair), the pair's lang prop is last-

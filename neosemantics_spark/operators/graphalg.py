@@ -98,6 +98,129 @@ def pagerank(
     return rank.select("uri", round4(F.col("rank") * 1000.0).alias("rank_x1000"))
 
 
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    direction: str = "out",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(uri, hop) — every node within k hops of the seed set, hop = the
+    minimum distance (seeds themselves are hop 0). The subgraph-sampling
+    primitive of a KG-aware curation pass: pick anchor entities, expand
+    their neighborhood, keep the documents that mention it.
+
+    Frontier BFS, one equi-join per hop: frontier ⋈ edges keyed on the
+    expansion side, then an anti-join against the visited set so each
+    node is expanded exactly once — total work O(Σ frontier-adjacent
+    edges), never O(k·|E|). Both the frontier and the visited set are
+    localCheckpoint-pinned per hop (bounded two-column tables), the
+    iterative-plan hygiene from `operators/cc.py`. `direction` is
+    "out", "in", or "both" (both = treat edges as undirected).
+
+    At scale the frontier join inherits the edge table's partitioning;
+    hot hubs in the frontier are the same skew case as CC rounds (AQE
+    skew-join splits them).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if direction == "both":
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    elif direction == "in":
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction != "out":
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    e = e.distinct().localCheckpoint(eager=True)
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("uri"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    for depth in range(1, k + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("uri", "src"), "src")
+            .select(F.col("dst").alias("uri"))
+            .distinct()
+            .join(visited.select("uri"), "uri", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(uri, community) by synchronous label propagation over the
+    undirected dedup'd edge set: every node starts as its own label;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label, for
+    a fixed number of rounds (deterministic — no hash-order dependence,
+    so the DuckDB oracle can replay it as unrolled CTEs). Nodes keep
+    their current label on rounds where they have no neighbors (cannot
+    happen here — nodes are defined BY the edge set — but keeps the
+    semantics total).
+
+    Spark shape per round: one join of the label vector onto the
+    undirected edge list, one count agg keyed on (node, label), one
+    min_by agg keyed on node — all map-side combinable except the
+    final per-node pick. Label vector pinned per round.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    # undirected, self-loops dropped (a self-vote is a fixed-point trap)
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("uri"))
+        .unionByName(und.select(F.col("dst").alias("uri")))
+        .distinct()
+        .withColumn("community", F.col("uri"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("uri").alias("dst"), F.col("community").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("uri"), F.col("nbr_label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("uri")
+            .agg(
+                F.min_by(
+                    "nbr_label", F.struct((-F.col("cnt")).alias("nc"), "nbr_label")
+                ).alias("community")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -3,7 +3,12 @@ degree stats, pinned against an independent dict-based reference."""
 
 import pytest
 
-from neosemantics_spark.operators.graphalg import degree_stats, pagerank
+from neosemantics_spark.operators.graphalg import (
+    degree_stats,
+    k_hop,
+    label_propagation,
+    pagerank,
+)
 
 
 def _pagerank_ref(edges, damping=0.85, iters=5):
@@ -60,6 +65,61 @@ def test_pagerank_guards(spark, edges):
         pagerank(edges, iters=0)
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+
+
+def test_k_hop_out(spark, edges):
+    seeds = spark.createDataFrame([("d",), ("e",)], ["uri"])
+    got = {r["uri"]: r["hop"] for r in k_hop(edges, seeds, k=3).collect()}
+    # d→a (1), a→{b,e} (2), b→c (3); e has no out-edges but is a seed
+    assert got == {"d": 0, "e": 0, "a": 1, "b": 2, "c": 3}
+    # min-distance: e is reachable at hop 2 via a but stays a hop-0 seed
+    shallow = {r["uri"]: r["hop"] for r in k_hop(edges, seeds, k=1).collect()}
+    assert shallow == {"d": 0, "e": 0, "a": 1}
+
+
+def test_k_hop_directions_and_guards(spark, edges):
+    seeds = spark.createDataFrame([("e",)], ["uri"])
+    got_in = {r["uri"]: r["hop"] for r in k_hop(edges, seeds, k=2, direction="in").collect()}
+    # e←a (1), a←{c,d} (2)
+    assert got_in == {"e": 0, "a": 1, "c": 2, "d": 2}
+    got_both = {r["uri"]: r["hop"] for r in k_hop(edges, seeds, k=1, direction="both").collect()}
+    assert got_both == {"e": 0, "a": 1}
+    # early termination: frontier dries up before k
+    assert k_hop(edges, seeds, k=99, direction="out").count() == 1
+    with pytest.raises(ValueError, match="k must"):
+        k_hop(edges, seeds, k=-1)
+    with pytest.raises(ValueError, match="direction"):
+        k_hop(edges, seeds, k=1, direction="sideways")
+
+
+def test_label_propagation(spark):
+    # two triangles bridged by one edge: LPA pulls each triangle to its
+    # min member; the bridge is outvoted 1:2 on both sides
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+        ("lone", "lone"),  # self-loop-only node: dropped (no real nbrs)
+    ]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["uri"]: r["community"] for r in label_propagation(e, iters=4).collect()}
+    assert "lone" not in got
+    # each triangle is internally uniform and the two stay distinct
+    # (the bridge leaks the LABEL "c" into the x side — membership holds)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "c"
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(e, iters=0)
+
+
+def test_label_propagation_tie_break(spark):
+    # p's neighbors split 1:1 between labels "a" and "b" every round —
+    # the lexicographic tie-break must pick "a" deterministically
+    e = spark.createDataFrame([("a", "p"), ("b", "p")], ["src", "dst"])
+    got = {r["uri"]: r["community"] for r in label_propagation(e, iters=1).collect()}
+    assert got["p"] == "a"
+    # a and b each have the single neighbor p, so they adopt "p"
+    assert got["a"] == got["b"] == "p"
 
 
 def test_degree_stats(spark, edges):
