@@ -286,6 +286,80 @@ def q_kg_labelprop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected doc graph via the degree-ordered forward algorithm; the
+    oracle recounts each node's adjacent-neighbor pairs directly, so the
+    orientation trick is value-checked against the naive definition."""
+    from neosemantics_spark.operators.graphalg import triangle_stats
+
+    return triangle_stats(_doc_graph_edges(spark, sf)).select(
+        "uri", "degree", "triangles", "lcc"
+    )
+
+
+def q_kg_neighbor_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-Jaccard entity-resolution candidates (shared-
+    neighbor wedge join, |A∪B| from degrees — neighbor sets never
+    materialized) over the undirected doc graph, threshold 0.2."""
+    from neosemantics_spark.operators.graphalg import neighborhood_similarity
+
+    return neighborhood_similarity(
+        _doc_graph_edges(spark, sf), min_jaccard=0.2
+    ).select("a", "b", "intersection", "jaccard")
+
+
+def q_curation_prov(spark: SparkSession, sf: str) -> DataFrame:
+    """PROV-O provenance triples for an exact-dedup curation decision
+    over the dup-injected view (the same view as dedup_exact_groups, so
+    the dropped set is non-empty at every sf): kept docs get
+    prov:wasGeneratedBy, dropped get prov:wasInvalidatedBy, every doc is
+    typed prov:Entity, plus the typed+timestamped activity rows. Joins
+    only — the oracle rebuilds every row with string concatenation."""
+    from neosemantics_spark.operators.dedup import dedup_exact
+    from neosemantics_spark.operators.provenance import provenance_triples
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    dup_view = docs.unionByName(
+        tenth.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    ).unionByName(tenth.withColumn("doc_id", F.col("doc_id") + 20_000_000))
+    kept = dedup_exact(dup_view)
+    return provenance_triples(
+        dup_view, kept, "r6", ended_at="2026-01-01T00:00:00Z"
+    ).select("subject", "predicate", "object", "is_literal", "datatype", "lang")
+
+
+def q_bpe_word_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-sized stage of BPE training: pretokenized word
+    histogram (letter runs | digit runs | single punctuation)."""
+    from neosemantics_spark.operators.bpe import word_histogram
+
+    return word_histogram(_docs(spark, sf)).select("word", "freq")
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 20 learned BPE merges over the documents corpus — the
+    iterative merge loop (driver-sequential by nature: round t+1's pair
+    counts depend on round t's rewrite), so no SQL oracle; pinned
+    instead by tests/test_bpe.py against a pure-Python reference."""
+    from neosemantics_spark.operators.bpe import merges_table, train_bpe
+
+    merges = train_bpe(_docs(spark, sf), n_merges=20, min_freq=2)
+    return merges_table(spark, merges).select("rank", "left", "right", "freq")
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counts after encoding the corpus with its own 20-merge
+    tokenizer (iterative training upstream → rows-only check; the
+    encode loop itself is pinned by tests/test_bpe.py)."""
+    from neosemantics_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs = _docs(spark, sf)
+    merges = train_bpe(docs, n_merges=20, min_freq=2)
+    return encode_bpe(docs, merges).select("doc_id", "n_tokens")
+
+
 def q_kg_shorten(spark: SparkSession, sf: str) -> DataFrame:
     src = src_files_from_documents(spark, sf, "N-Triples")
     raw = extract_triples(src)
@@ -1405,6 +1479,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_khop": q_kg_khop,
         "kg_labelprop": q_kg_labelprop,
+        "kg_triangles": q_kg_triangles,
+        "kg_neighbor_sim": q_kg_neighbor_sim,
+        "curation_prov": q_curation_prov,
+        "bpe_word_hist": q_bpe_word_hist,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "kg_shorten": q_kg_shorten,
         "kg_map": q_kg_map,
         "kg_sameas_cc": q_kg_sameas_cc,
@@ -1943,6 +2023,95 @@ und AS (
 nodes AS (SELECT src AS uri FROM und UNION SELECT dst AS uri FROM und),
 l0 AS (SELECT uri, uri AS community FROM nodes){_lp_rounds}
 SELECT uri, community FROM l4
+"""
+    # triangles + LCC: the oracle uses the naive neighbor-pair recount
+    # (adjacent-pair join per node) — a different formulation from the
+    # engine's degree-ordered orientation, so agreement checks the
+    # algorithm, not the implementation
+    out["kg_triangles"] = f"""{_dg_e},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+adj AS (SELECT a AS w, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v AS uri, count(*) AS degree FROM adj GROUP BY 1),
+tri AS (
+  SELECT a1.w AS uri, count(*) AS t
+  FROM adj a1
+  JOIN adj a2 ON a1.w = a2.w AND a1.v < a2.v
+  JOIN und u ON u.a = a1.v AND u.b = a2.v
+  GROUP BY 1
+)
+SELECT d.uri, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN floor(2.0 * coalesce(t.t, 0) / (d.degree * (d.degree - 1.0))
+                       * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tri t ON d.uri = t.uri
+"""
+    # neighborhood-Jaccard candidates: wedge join keyed on the shared
+    # neighbor, union size from degrees
+    out["kg_neighbor_sim"] = f"""{_dg_e},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+adj AS (SELECT a AS w, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v AS uri, count(*) AS degree FROM adj GROUP BY 1),
+pairs AS (
+  SELECT x.v AS a, y.v AS b, count(*) AS i
+  FROM adj x JOIN adj y ON x.w = y.w AND x.v < y.v
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, CAST(p.i AS BIGINT) AS intersection,
+       floor(p.i / (da.degree + db.degree - p.i) * 10000 + 0.5) / 10000 AS jaccard
+FROM pairs p
+JOIN deg da ON p.a = da.uri
+JOIN deg db ON p.b = db.uri
+WHERE floor(p.i / (da.degree + db.degree - p.i) * 10000 + 0.5) / 10000 >= 0.2
+"""
+    # PROV-O curation provenance: every decision row rebuilt by string
+    # concatenation over the dup-injected view's exact-dedup outcome
+    _prov = "http://www.w3.org/ns/prov#"
+    _rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    _act = "http://example.org/activity/r6"
+    out["curation_prov"] = f"""
+WITH dup_view AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM dup_view GROUP BY text),
+ids AS (
+  SELECT doc_id, 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS iri
+  FROM dup_view
+)
+SELECT iri AS subject, '{_rdf_type}' AS predicate, '{_prov}Entity' AS object,
+       FALSE AS is_literal, CAST(NULL AS VARCHAR) AS datatype,
+       CAST(NULL AS VARCHAR) AS lang
+FROM ids
+UNION ALL
+SELECT iri, '{_prov}wasGeneratedBy', '{_act}', FALSE, NULL, NULL
+FROM ids WHERE doc_id IN (SELECT doc_id FROM kept)
+UNION ALL
+SELECT iri, '{_prov}wasInvalidatedBy', '{_act}', FALSE, NULL, NULL
+FROM ids WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+UNION ALL
+SELECT '{_act}', '{_rdf_type}', '{_prov}Activity', FALSE, NULL, NULL
+UNION ALL
+SELECT '{_act}', '{_prov}endedAtTime', '2026-01-01T00:00:00Z', TRUE,
+       'http://www.w3.org/2001/XMLSchema#dateTime', NULL
+"""
+    # BPE word histogram: same pretokenizer regex in DuckDB (RE2 \\s and
+    # Java \\s agree on the ASCII whitespace set this corpus uses)
+    out["bpe_word_hist"] = r"""
+SELECT word, count(*) AS freq FROM (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS word
+  FROM documents
+) GROUP BY word
 """
     # sameAs refresh: the %10==1 docs merge into their even partners
     # (component = min uri of the pair), the pair's lang prop is last-

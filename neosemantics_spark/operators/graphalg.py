@@ -221,6 +221,143 @@ def label_propagation(
     return labels
 
 
+def _undirected_canonical(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected edge set (a < b), self-loops dropped."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).filter(
+        F.col("s").isNotNull() & F.col("d").isNotNull() & (F.col("s") != F.col("d"))
+    )
+    return e.select(
+        F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+    ).distinct()
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(uri, degree, triangles, lcc) per node of the undirected dedup'd
+    edge set (self-loops dropped): triangle participation count and the
+    local clustering coefficient 2T/(deg*(deg-1)) (0.0 for deg < 2),
+    half-up-rounded to 4 decimals — the density signal that separates
+    tight entity cliques from hub-and-spoke noise before community
+    sampling.
+
+    Scale shape — the degree-ordered "forward" algorithm (Schank &
+    Wagner 2005), not the naive wedge join: every undirected edge is
+    oriented from its lower-(degree, uri) endpoint to its higher one,
+    so each node's oriented out-degree is O(√|E|) on any graph. The
+    wedge join (o1.b = o2.a) therefore fans out to O(|E|^1.5) candidate
+    wedges worst-case — the provable optimum for exact triangle listing
+    — instead of Σdeg² (which a hub node makes quadratic). Each
+    triangle is emitted exactly once (its orientation-order (a,b,c)),
+    then per-node counts come from one explode + map-side-combined sum.
+    All joins are equi-joins on node keys; hot keys hit AQE skew-join.
+    """
+    und = _undirected_canonical(edges, src_col, dst_col).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("uri"))
+        .unionByName(und.select(F.col("b").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("uri").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("uri").alias("b"), F.col("degree").alias("deg_b"))
+    keyed = und.join(da, "a").join(db, "b")
+    # orient low (degree, uri) -> high (degree, uri); total order, no ties
+    fwd = F.struct(F.col("deg_a").alias("dg"), F.col("a").alias("u")) < F.struct(
+        F.col("deg_b").alias("dg"), F.col("b").alias("u")
+    )
+    o = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    wedges = o.alias("e1").join(
+        o.select(F.col("lo").alias("hi"), F.col("hi").alias("far")).alias("e2"), "hi"
+    )
+    tri = wedges.join(
+        o.select(F.col("lo").alias("lo"), F.col("hi").alias("far")),
+        ["lo", "far"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("lo", "hi", "far")).alias("uri"))
+        .groupBy("uri")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "uri", "left").select(
+        "uri",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            round4(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def neighborhood_similarity(
+    edges: DataFrame,
+    min_jaccard: float = 0.0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(a, b, intersection, jaccard) for every unordered node pair a < b
+    sharing at least one neighbor in the undirected dedup'd edge set —
+    structural entity-resolution candidates (two URIs whose KG
+    neighborhoods overlap are merge suspects even without a sameAs
+    assertion; the reference's similarity surface is taxonomy-based,
+    `n10s/similarity/SimilarityProcedures.java` — this is the
+    set-overlap complement over instance edges). Jaccard half-up-rounded
+    to 4 decimals; pairs below `min_jaccard` are dropped.
+
+    Scale shape: candidate pairs come from one self-join keyed on the
+    SHARED NEIGHBOR (each node w contributes its adjacency list's pairs)
+    followed by a map-side-combined count per pair — never an all-pairs
+    cross join; total work is Σ_w deg(w)², the wedge count, and the
+    union size comes from two broadcast-or-shuffle equi-joins onto the
+    degree table (|A∪B| = deg(A)+deg(B)−|A∩B|, so neighbor SETS are
+    never materialized per pair). Hub-w quadratic blowup is the same
+    skew case as CC rounds (AQE skew-join); for power-law graphs cap
+    hubs upstream by filtering degree > cap before calling.
+    """
+    und = _undirected_canonical(edges, src_col, dst_col)
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("v").alias("uri")).agg(F.count("*").alias("degree"))
+    pairs = (
+        adj.alias("x")
+        .join(adj.select("w", F.col("v").alias("v2")).alias("y"), "w")
+        .filter(F.col("v") < F.col("v2"))
+        .groupBy(F.col("v").alias("a"), F.col("v2").alias("b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    out = (
+        pairs.join(deg.select(F.col("uri").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("uri").alias("b"), F.col("degree").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "intersection",
+            round4(
+                F.col("intersection")
+                / (F.col("da") + F.col("db") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
 def degree_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

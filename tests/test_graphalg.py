@@ -133,3 +133,56 @@ def test_degree_stats(spark, edges):
     assert got["d"] == (1, 0)
     assert got["e"] == (0, 1)   # dangling
     assert got["f"] == (1, 1)   # self-loop
+
+
+def test_triangle_stats_basic(spark):
+    from neosemantics_spark.operators.graphalg import triangle_stats
+
+    # K4 on a,b,c,d (4 triangles, every node in 3) plus a pendant p off a
+    # and a self-loop (dropped); edge directions scrambled on purpose
+    rows = [
+        ("a", "b"), ("c", "a"), ("a", "d"),
+        ("b", "c"), ("d", "b"), ("c", "d"),
+        ("d", "c"),            # parallel reverse edge: same undirected edge
+        ("p", "a"),
+        ("b", "b"),            # self-loop: dropped
+    ]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["uri"]: r for r in triangle_stats(e).collect()}
+    for v in "abcd":
+        assert got[v]["triangles"] == 3
+    assert got["a"]["degree"] == 4 and got["b"]["degree"] == 3
+    # a: 3 triangles over C(4,2)=6 nbr pairs -> 0.5; b,c,d: 3/3 = 1.0
+    assert got["a"]["lcc"] == 0.5
+    assert got["b"]["lcc"] == 1.0 and got["c"]["lcc"] == 1.0
+    assert got["p"]["triangles"] == 0 and got["p"]["lcc"] == 0.0
+    assert got["p"]["degree"] == 1
+
+
+def test_triangle_stats_path_no_triangles(spark):
+    from neosemantics_spark.operators.graphalg import triangle_stats
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {r["uri"]: r for r in triangle_stats(e).collect()}
+    assert all(r["triangles"] == 0 for r in got.values())
+    assert got["b"]["lcc"] == 0.0 and got["b"]["degree"] == 2
+    assert got["a"]["lcc"] == 0.0  # degree 1 -> defined as 0
+
+
+def test_neighborhood_similarity(spark):
+    from neosemantics_spark.operators.graphalg import neighborhood_similarity
+
+    # a and b share neighbors {x, y}; a also has z, b also has w
+    # N(a)={x,y,z}, N(b)={x,y,w} -> J(a,b) = 2/4 = 0.5
+    rows = [("a", "x"), ("a", "y"), ("a", "z"), ("x", "b"), ("b", "y"), ("b", "w")]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {(r["a"], r["b"]): r for r in neighborhood_similarity(e).collect()}
+    r = got[("a", "b")]
+    assert r["intersection"] == 2 and r["jaccard"] == 0.5
+    # x and y share neighbors {a, b}: J = 2/2 = 1.0
+    assert got[("x", "y")]["jaccard"] == 1.0
+    # threshold drops sub-threshold pairs, keeps the rest
+    kept = neighborhood_similarity(e, min_jaccard=0.6).collect()
+    assert {(r["a"], r["b"]) for r in kept} == {("x", "y")} | {
+        (a, b) for (a, b), r in got.items() if r["jaccard"] >= 0.6
+    }
