@@ -1434,6 +1434,28 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a", "b", "score")
 
 
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension min-max int8 codes (exploded to (vec_id, pos, q)
+    so the oracle compares scalar ints, not array renderings); the
+    engine path is the broadcast-scales zip_with chain, the oracle
+    recomputes per-element from the exploded stats join."""
+    from neosemantics_spark.operators.embed import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantize_embeddings(emb, bits=8).select(
+        "vec_id", F.posexplode("qvec").alias("pos", "q")
+    )
+
+
+def q_embedding_quant_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-trip max |x - dequant(quant(x))| per vector at 8 bits —
+    the bit-width audit table."""
+    from neosemantics_spark.operators.embed import quantization_error
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantization_error(emb, bits=8).select("vec_id", "max_err")
+
+
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     return media_stats(synthetic_media(spark, 256)).select(
         "kind", "n", "total_bytes", "avg_width", "avg_duration_ms"
@@ -1549,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "kg_json_tree": q_kg_json_tree,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_quantize": q_embedding_quantize,
+        "embedding_quant_error": q_embedding_quant_error,
         "sco_closure": q_sco_closure,
     }
 
@@ -3165,6 +3189,34 @@ WITH e0 AS (
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
 )
 SELECT a, b, score FROM s WHERE score >= 0.5
+"""
+    # int8 min-max quantization: parallel unnests zip positionally in
+    # DuckDB, giving the same (pos, value) rows as Spark's posexplode
+    _qx = """
+WITH x AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(unnest(range(len(embedding))) AS INT) AS pos
+  FROM embeddings
+),
+s AS (SELECT pos, min(v) AS dmin, max(v) AS dmax FROM x GROUP BY 1),
+qc AS (
+  SELECT x.vec_id, x.pos, x.v, s.dmin, s.dmax,
+         CASE WHEN s.dmax - s.dmin = 0 THEN 0.0
+              ELSE greatest(0.0, least(255.0,
+                   floor((x.v - s.dmin) / (s.dmax - s.dmin) * 255 + 0.5)))
+         END AS code
+  FROM x JOIN s USING (pos)
+)
+"""
+    out["embedding_quantize"] = (
+        _qx + "SELECT vec_id, pos, CAST(code AS INT) AS q FROM qc"
+    )
+    out["embedding_quant_error"] = _qx + """
+SELECT vec_id,
+       floor(max(abs(v - (dmin + code / 255.0 * (dmax - dmin)))) * 10000 + 0.5)
+       / 10000 AS max_err
+FROM qc GROUP BY 1
 """
     # cross-batch SemDeDup through the curation state machine: batch 1
     # in-batch closure; batch 2 drops docs matching batch-1 ACCEPTED
