@@ -1434,6 +1434,17 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a", "b", "score")
 
 
+def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card profile per (lang, source): one groupBy with
+    digest-based unique counts — the release-notes table for a corpus."""
+    from neosemantics_spark.operators.datasets import corpus_profile
+
+    return corpus_profile(_docs(spark, sf)).select(
+        "lang", "source", "n_docs", "n_unique", "dup_ratio",
+        "total_chars", "total_tokens", "avg_tokens", "min_chars", "max_chars",
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-dimension min-max int8 codes (exploded to (vec_id, pos, q)
     so the oracle compares scalar ints, not array renderings); the
@@ -1571,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "kg_json_tree": q_kg_json_tree,
         "embedding_near_dups": q_embedding_near_dups,
+        "corpus_profile": q_corpus_profile,
         "embedding_quantize": q_embedding_quantize,
         "embedding_quant_error": q_embedding_quant_error,
         "sco_closure": q_sco_closure,
@@ -3208,6 +3220,23 @@ qc AS (
          END AS code
   FROM x JOIN s USING (pos)
 )
+"""
+    out["corpus_profile"] = f"""
+WITH r AS (
+  SELECT lang, source, length(text) AS c, len({_WORDS}) AS t, text
+  FROM documents
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+       floor((count(*) - count(DISTINCT text)) * 1.0 / count(*) * 10000 + 0.5)
+       / 10000 AS dup_ratio,
+       CAST(sum(c) AS BIGINT) AS total_chars,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       floor(sum(t) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS avg_tokens,
+       CAST(min(c) AS BIGINT) AS min_chars,
+       CAST(max(c) AS BIGINT) AS max_chars
+FROM r GROUP BY 1, 2
 """
     out["embedding_quantize"] = (
         _qx + "SELECT vec_id, pos, CAST(code AS INT) AS q FROM qc"

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import round4
+
 
 def norm_tokens(col: Column) -> Column:
     """Lowercased alphanumeric word array — the shared tokenization for
@@ -441,4 +443,43 @@ def pack_sequences(
         "n_tokens",
         F.floor(start / seq_tokens).cast("long").alias("seq_id"),
         (start % seq_tokens).cast("long").alias("seq_offset"),
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card profile: one row per group with the structural
+    stats a corpus release documents — doc count, unique-text count
+    (via sha2 digests, so the aggregate never carries full texts
+    through the shuffle), exact-dup ratio, char/token totals, and
+    per-doc token mean (4-dp half-up). The whole operator is ONE
+    groupBy over per-row expressions: partial aggregation reduces each
+    partition to |groups| rows before the shuffle, and count(distinct
+    digest) is Spark's standard two-phase distinct-agg expansion — at
+    100 TB the shuffled payload is digests + counters, never text.
+
+    This is the reporting complement to the curation metrics ledger
+    (`curation.py` metrics): that tracks per-batch decisions, this
+    summarizes a finished corpus.
+    """
+    from .text import _words
+
+    chars = F.length(F.col(text_col))
+    toks = F.size(_words(F.col(text_col)))
+    digest = F.sha2(F.col(text_col), 256)
+    rows = df.select(*group_cols, chars.alias("_c"), toks.alias("_t"), digest.alias("_h"))
+    n = F.count("*")
+    uniq = F.countDistinct("_h")
+    return rows.groupBy(*group_cols).agg(
+        n.alias("n_docs"),
+        uniq.alias("n_unique"),
+        round4((n - uniq) / n).alias("dup_ratio"),
+        F.sum("_c").alias("total_chars"),
+        F.sum("_t").alias("total_tokens"),
+        round4(F.sum("_t") / n).alias("avg_tokens"),
+        F.min("_c").cast("long").alias("min_chars"),
+        F.max("_c").cast("long").alias("max_chars"),
     )

@@ -324,3 +324,23 @@ def test_quality_weighted_sample(spark):
     assert 30 <= low_kept <= 70  # ~50% of the 101 bottom rows
     with pytest.raises(ValueError, match="hi > lo"):
         ds.quality_weighted_sample(df, "score", lo=1.0, hi=1.0)
+
+
+def test_corpus_profile(spark):
+    from neosemantics_spark.operators.datasets import corpus_profile
+
+    rows = [
+        (1, "alpha beta", "en", "web"),
+        (2, "alpha beta", "en", "web"),     # exact dup of 1
+        (3, "gamma delta epsilon", "en", "web"),
+        (4, "uno dos", "es", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {(r["lang"], r["source"]): r for r in corpus_profile(df).collect()}
+    en = got[("en", "web")]
+    assert en["n_docs"] == 3 and en["n_unique"] == 2
+    assert en["dup_ratio"] == 0.3333
+    assert en["total_tokens"] == 7 and en["avg_tokens"] == 2.3333
+    assert en["min_chars"] == 10 and en["max_chars"] == 19
+    es = got[("es", "web")]
+    assert es["n_docs"] == 1 and es["dup_ratio"] == 0.0
