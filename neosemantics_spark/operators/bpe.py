@@ -218,3 +218,91 @@ def encode_bpe(
         F.col(id_col),
         _encode(F.col(text_col)).alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens"))
+
+
+def save_bpe(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a trained tokenizer: the rank-ordered merge table as
+    parquet + meta.json with the pretokenizer pattern and EOW sentinel
+    (so a loader can verify it is decoding with the same pretokenizer
+    the merges were learned under). Same layout discipline as save_nb /
+    the BM25 index: Spark writer for the table, POSIX for the metadata,
+    so the root must be driver-local (`require_local_root`). A
+    tokenizer is re-trained, not appended — overwrite semantics."""
+    import json
+    import os
+
+    from ..utils import require_local_root
+
+    path = require_local_root(path, "save_bpe tokenizer")
+    merges_table(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "merges")
+    )
+    meta = {
+        "n_merges": len(merges),
+        "pretoken_pattern": PRETOKEN_PATTERN,
+        "eow": EOW,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, os.path.join(path, "meta.json"))
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a tokenizer persisted by `save_bpe`, in rank order.
+    Refuses a tokenizer trained under a different pretokenizer pattern
+    or sentinel than this module applies at encode time (the silent
+    mismatch would tokenize every word differently)."""
+    import json
+    import os
+
+    from ..utils import require_local_root
+
+    path = require_local_root(path, "load_bpe tokenizer")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("pretoken_pattern") != PRETOKEN_PATTERN or meta.get("eow") != EOW:
+        raise ValueError(
+            f"tokenizer at {path!r} was trained with pretokenizer "
+            f"{meta.get('pretoken_pattern')!r} / eow {meta.get('eow')!r}; "
+            f"this build encodes with {PRETOKEN_PATTERN!r} / {EOW!r}"
+        )
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("rank")
+        .collect()  # bounded: a tokenizer is n_merges rows (KBs)
+    )
+    if len(rows) != int(meta["n_merges"]):
+        raise ValueError(
+            f"tokenizer at {path!r}: meta says {meta['n_merges']} merges, "
+            f"table has {len(rows)}"
+        )
+    return [(r["left"], r["right"], int(r["freq"])) for r in rows]
+
+
+def vocab_table(spark, merges: list[tuple[str, str, int]], docs: DataFrame | None = None, text_col: str = "text"):
+    """(token_id, token) — the encoder's output alphabet: every base
+    symbol (corpus characters + EOW when `docs` is given, else the
+    merges' constituent symbols) plus one token per merge, ids assigned
+    base-alphabet-first in lexicographic order, then merges in rank
+    order (the subword-nmt vocab convention)."""
+    from pyspark.sql import functions as F
+
+    if docs is not None:
+        base = (
+            docs.select(F.explode(F.split(F.col(text_col), "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .filter(~F.col("ch").rlike(r"\s"))
+            .distinct()
+        )
+        base_syms = sorted({r["ch"] for r in base.collect()} | {EOW})
+    else:
+        syms: set[str] = set()
+        for left, right, _ in merges:
+            syms.add(left)
+            syms.add(right)
+        base_syms = sorted(syms)
+    rows = [(i, s) for i, s in enumerate(base_syms)]
+    off = len(rows)
+    rows += [(off + i, m[0] + m[1]) for i, m in enumerate(merges)]
+    return spark.createDataFrame(rows, "token_id int, token string")

@@ -139,3 +139,61 @@ def test_merges_table(spark, docs):
     rows = tbl.orderBy("rank").collect()
     assert [(r["left"], r["right"], r["freq"]) for r in rows] == merges
     assert [r["rank"] for r in rows] == list(range(len(merges)))
+
+
+def test_save_load_bpe_roundtrip(spark, tmp_path):
+    from neosemantics_spark.operators.bpe import (
+        EOW,
+        encode_bpe,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+        vocab_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low new newer")], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, n_merges=6, min_freq=1)
+    root = str(tmp_path / "tok")
+    save_bpe(spark, merges, root)
+    loaded = load_bpe(spark, root)
+    assert loaded == merges
+    # encoding through the loaded tokenizer is identical
+    a = {r["doc_id"]: r["tokens"] for r in encode_bpe(docs, merges).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in encode_bpe(docs, loaded).collect()}
+    assert a == b
+    # vocab: base chars + EOW first (lexicographic), merges after
+    vocab = vocab_table(spark, merges, docs=docs).collect()
+    toks = [r["token"] for r in sorted(vocab, key=lambda r: r["token_id"])]
+    n_base = len(toks) - len(merges)
+    assert toks[:n_base] == sorted(set("lowernst") | {EOW})
+    assert toks[n_base:] == [m[0] + m[1] for m in merges]
+    # ids are dense from 0
+    assert sorted(r["token_id"] for r in vocab) == list(range(len(vocab)))
+
+
+def test_load_bpe_refuses_mismatched_pretokenizer(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from neosemantics_spark.operators.bpe import load_bpe, save_bpe
+
+    root = str(tmp_path / "tok2")
+    save_bpe(spark, [("a", "b", 3)], root)
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    meta["pretoken_pattern"] = "[a-z]+"
+    json.dump(meta, open(os.path.join(root, "meta.json"), "w"))
+    with pytest.raises(ValueError, match="pretokenizer"):
+        load_bpe(spark, root)
+
+
+def test_save_bpe_refuses_remote_scheme(spark):
+    import pytest
+
+    from neosemantics_spark.operators.bpe import save_bpe
+
+    with pytest.raises(ValueError, match="scheme"):
+        save_bpe(spark, [("a", "b", 3)], "s3a://bucket/tok")
