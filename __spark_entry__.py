@@ -309,6 +309,19 @@ def q_kg_neighbor_sim(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a", "b", "intersection", "jaccard")
 
 
+def q_kg_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """4-round synchronous 3-core peel over the undirected doc graph —
+    the dense-subgraph filter. The oracle unrolls the same four
+    degree-count + both-endpoint-semi-join rounds as chained CTEs (the
+    engine's early fixpoint exit is sound against a deeper unrolling:
+    extra rounds are no-ops on a fixpoint)."""
+    from neosemantics_spark.operators.graphalg import k_core
+
+    return k_core(_doc_graph_edges(spark, sf), k=3, rounds=4).select(
+        "uri", "core_degree"
+    )
+
+
 def q_curation_prov(spark: SparkSession, sf: str) -> DataFrame:
     """PROV-O provenance triples for an exact-dedup curation decision
     over the dup-injected view (the same view as dedup_exact_groups, so
@@ -1514,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_labelprop": q_kg_labelprop,
         "kg_triangles": q_kg_triangles,
         "kg_neighbor_sim": q_kg_neighbor_sim,
+        "kg_kcore": q_kg_kcore,
         "curation_prov": q_curation_prov,
         "bpe_word_hist": q_bpe_word_hist,
         "bpe_merges": q_bpe_merges,
@@ -2059,6 +2073,47 @@ und AS (
 nodes AS (SELECT src AS uri FROM und UNION SELECT dst AS uri FROM und),
 l0 AS (SELECT uri, uri AS community FROM nodes){_lp_rounds}
 SELECT uri, community FROM l4
+"""
+    out["kg_kcore"] = f"""{_dg_e},
+u0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+d1 AS (
+  SELECT u FROM (SELECT a AS u FROM u0 UNION ALL SELECT b FROM u0)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+u1 AS (
+  SELECT u0.a, u0.b FROM u0
+  JOIN d1 x ON u0.a = x.u JOIN d1 y ON u0.b = y.u
+),
+d2 AS (
+  SELECT u FROM (SELECT a AS u FROM u1 UNION ALL SELECT b FROM u1)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+u2 AS (
+  SELECT u1.a, u1.b FROM u1
+  JOIN d2 x ON u1.a = x.u JOIN d2 y ON u1.b = y.u
+),
+d3 AS (
+  SELECT u FROM (SELECT a AS u FROM u2 UNION ALL SELECT b FROM u2)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+u3 AS (
+  SELECT u2.a, u2.b FROM u2
+  JOIN d3 x ON u2.a = x.u JOIN d3 y ON u2.b = y.u
+),
+d4 AS (
+  SELECT u FROM (SELECT a AS u FROM u3 UNION ALL SELECT b FROM u3)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+u4 AS (
+  SELECT u3.a, u3.b FROM u3
+  JOIN d4 x ON u3.a = x.u JOIN d4 y ON u3.b = y.u
+)
+SELECT u AS uri, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS u FROM u4 UNION ALL SELECT b FROM u4)
+GROUP BY 1 HAVING count(*) >= 3
 """
     # triangles + LCC: the oracle uses the naive neighbor-pair recount
     # (adjacent-pair join per node) — a different formulation from the

@@ -380,3 +380,65 @@ def degree_stats(
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(uri, core_degree) — nodes surviving `rounds` synchronous peel
+    rounds of the k-core reduction over the undirected dedup'd edge set
+    (each round simultaneously removes every node whose current degree
+    is < k, then drops its incident edges), with their degree in the
+    surviving subgraph. With enough rounds this IS the k-core (the
+    dense-subgraph filter a KG curation pass keeps entity clusters by);
+    a fixed `rounds` keeps the operator deterministic and lets the
+    DuckDB oracle replay it as unrolled CTEs. The loop exits early at a
+    fixpoint — sound, because further rounds are no-ops on a fixpoint,
+    so the result equals the R-round unrolling for any larger R.
+
+    Spark shape per round: one map-side-combined degree count + one
+    semi-join of the edge set against the survivors on each endpoint —
+    all equi-joins on node keys; the edge set only ever shrinks.
+    Per-round pinning + partition-count pinning (the train_bpe lesson:
+    unions/joins must not compound partitions across rounds).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = _undirected_canonical(edges, src_col, dst_col).localCheckpoint(eager=True)
+    n_part = e.rdd.getNumPartitions()
+    n_edges = e.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("uri"))
+            .unionByName(e.select(F.col("b").alias("uri")))
+            .groupBy("uri")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("uri")
+        e2 = (
+            e.join(keep.withColumnRenamed("uri", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("uri", "b"), "b", "left_semi")
+            .select("a", "b")
+            .coalesce(n_part)
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:  # fixpoint: every remaining node has deg >= k
+            break
+        n_edges = n2
+    deg = (
+        e.select(F.col("a").alias("uri"))
+        .unionByName(e.select(F.col("b").alias("uri")))
+        .groupBy("uri")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k)

@@ -186,3 +186,38 @@ def test_neighborhood_similarity(spark):
     assert {(r["a"], r["b"]) for r in kept} == {("x", "y")} | {
         (a, b) for (a, b), r in got.items() if r["jaccard"] >= 0.6
     }
+
+
+def test_k_core_peels_cascade(spark):
+    from neosemantics_spark.operators.graphalg import k_core
+
+    # K4 on a,b,c,d + pendant chain q-p hanging off a: k=2 must peel p
+    # (deg 1), THEN q (deg 1 after p goes) — a two-round cascade
+    rows = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("a", "q"), ("q", "p"),
+    ]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["uri"]: r["core_degree"] for r in k_core(e, k=2, rounds=8).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=3: same core; k=4: nothing survives (K4 degrees are 3)
+    assert {r["uri"] for r in k_core(e, k=3, rounds=8).collect()} == {"a", "b", "c", "d"}
+    assert k_core(e, k=4, rounds=8).count() == 0
+    # bounded rounds: one round only peels p, so q survives with deg 1
+    # recomputed over the surviving edge set -> filtered by the final
+    # deg >= k cut; a second round's peel is what removes q's edge
+    one = {r["uri"] for r in k_core(e, k=2, rounds=1).collect()}
+    assert "p" not in one and "q" not in one
+
+
+def test_k_core_chain_to_empty(spark):
+    from neosemantics_spark.operators.graphalg import k_core
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    assert k_core(e, k=2, rounds=8).count() == 0
+    # triangle at the end of a tail: the 2-core is exactly the triangle
+    rows = chain + [("e", "f"), ("f", "d")]
+    e2 = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r["uri"]: r["core_degree"] for r in k_core(e2, k=2, rounds=8).collect()}
+    assert got == {"d": 2, "e": 2, "f": 2}
