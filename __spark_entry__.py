@@ -309,6 +309,25 @@ def q_kg_neighbor_sim(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a", "b", "intersection", "jaccard")
 
 
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window duplicated-span extraction over the dup-injected
+    view (exact copies guarantee full-document spans at every sf; the
+    base corpus contributes whatever natural n-gram repeats it has).
+    The oracle replays window hashing as raw-gram grouping — same
+    equivalence classes, so the sha2 shuffle-key discipline is checked
+    against the content-level definition."""
+    from neosemantics_spark.operators.dedup import duplicated_spans
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    dup_view = docs.unionByName(
+        tenth.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    return duplicated_spans(dup_view, n=8, min_docs=2).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
 def q_kg_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """4-round synchronous 3-core peel over the undirected doc graph —
     the dense-subgraph filter. The oracle unrolls the same four
@@ -1528,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_neighbor_sim": q_kg_neighbor_sim,
         "kg_kcore": q_kg_kcore,
+        "dup_spans": q_dup_spans,
         "curation_prov": q_curation_prov,
         "bpe_word_hist": q_bpe_word_hist,
         "bpe_merges": q_bpe_merges,
@@ -2114,6 +2134,44 @@ u4 AS (
 SELECT u AS uri, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS u FROM u4 UNION ALL SELECT b FROM u4)
 GROUP BY 1 HAVING count(*) >= 3
+"""
+    # sliding-window duplicated spans over the dup-injected view: the
+    # oracle groups by raw gram content (no hash), islands via
+    # lag/running-sum per doc
+    out["dup_spans"] = f"""
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, {_WORDS} AS w FROM dv),
+st AS (
+  SELECT doc_id, CAST(s AS INT) AS s,
+         array_to_string(list_slice(w, s + 1, s + 8), ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS s FROM w WHERE len(w) >= 8)
+),
+pg AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM st)
+  GROUP BY g HAVING count(*) >= 2
+),
+d AS (SELECT st.doc_id, st.s FROM st JOIN pg USING (g)),
+i AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+              OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+gs AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM i
+)
+SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+       CAST(max(s) + 8 AS INT) AS span_end,
+       CAST(max(s) + 8 - min(s) AS INT) AS span_tokens
+FROM gs GROUP BY doc_id, grp
 """
     # triangles + LCC: the oracle uses the naive neighbor-pair recount
     # (adjacent-pair join per node) — a different formulation from the

@@ -700,3 +700,78 @@ def near_dup_clusters(
             id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, span_start, span_end, span_tokens) — maximal token spans
+    covered by SLIDING n-token windows whose content occurs in at least
+    `min_docs` distinct documents. The alignment-INsensitive upgrade to
+    `chunk_dup_stats`: fixed non-overlapping chunks miss a shared block
+    that starts mid-chunk, a sliding window cannot (this is exact-
+    substring dedup à la Lee et al. 2022 at n-token granularity — every
+    duplicated substring of >= n tokens is covered by some duplicated
+    window, so it lands inside a reported span). Positions are 0-based
+    token offsets into the lowercased whitespace tokenization
+    (`text._words`); span_end is exclusive.
+
+    Plan: one row per token position (explode of a 0..len-n sequence —
+    linear in corpus tokens, the same volume class as the chunk
+    explode), window content folded to a sha2 immediately so the
+    per-gram aggregation shuffles 64-byte keys, distinct (gram, doc) →
+    per-gram doc counts, join back, then merge overlapping/adjacent
+    duplicated windows into maximal spans with a PER-DOCUMENT
+    lag/running-sum window (partitioned by the doc key — never a
+    corpus-wide window). Merge rule: consecutive duplicated starts s,
+    s' coalesce iff s' - s <= n (overlap or exact adjacency).
+    """
+    from pyspark.sql import Window
+
+    from .text import _words
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    base = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") >= n
+    )
+    starts = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("s"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "s",
+        F.sha2(F.concat_ws(" ", F.slice(F.col("_w"), F.col("s") + 1, n)), 256).alias(
+            "g"
+        ),
+    )
+    per_gram = (
+        starts.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    dup = starts.join(per_gram, "g", "left_semi").select(id_col, "s")
+    win = Window.partitionBy(id_col).orderBy("s")
+    brk = (
+        F.when(F.lag("s").over(win).isNull(), 1)
+        .when(F.col("s") - F.lag("s").over(win) > n, 1)
+        .otherwise(0)
+    )
+    grp = dup.withColumn("brk", brk).withColumn(
+        "grp",
+        F.sum("brk").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return grp.groupBy(id_col, "grp").agg(
+        F.min("s").alias("span_start"),
+        (F.max("s") + n).alias("span_end"),
+        (F.max("s") + n - F.min("s")).alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")

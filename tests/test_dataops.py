@@ -976,3 +976,40 @@ def test_elect_cluster_reps_duplicate_scores_and_neg_inf(spark):
     assert out[1]["score"] == 5.0  # max of the duplicate scores
     assert out[1]["is_rep"] == 1
     assert out[2]["score"] == float("-inf") and out[2]["is_rep"] == 0
+
+
+def test_duplicated_spans(spark):
+    from neosemantics_spark.operators.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta"          # 4-token shared block
+    rows = [
+        (1, f"one two {shared} three four"),    # block at tokens 2..6
+        (2, f"{shared} five six seven eight"),  # block at tokens 0..4
+        (3, "nine ten eleven twelve thirteen fourteen"),  # unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(df, n=4, min_docs=2).collect()
+    }
+    # doc 1: only window start 2 is duplicated -> span [2, 6)
+    assert got[1] == (2, 6, 4)
+    # doc 2: only window start 0 -> span [0, 4)
+    assert got[2] == (0, 4, 4)
+    assert 3 not in got
+
+
+def test_duplicated_spans_merges_adjacent_windows(spark):
+    from neosemantics_spark.operators.dedup import duplicated_spans
+
+    # two docs share a 6-token run: with n=4 the duplicated window
+    # starts are {0,1,2} (doc a) and {1,2,3} (doc b) -> ONE merged span
+    a = "p q r s t u xx yy"
+    b = "zz p q r s t u ww"
+    d = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(d, n=4, min_docs=2).collect()
+    }
+    assert got[1] == (0, 6)
+    assert got[2] == (1, 7)
