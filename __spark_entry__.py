@@ -309,6 +309,18 @@ def q_kg_neighbor_sim(spark: SparkSession, sf: str) -> DataFrame:
     ).select("a", "b", "intersection", "jaccard")
 
 
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) of the events table —
+    per-user lag/island pass, epoch-microsecond boundaries (exact
+    longs, no float timestamps in the compare)."""
+    from neosemantics_spark.streaming.stream import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_idx", "start_us", "end_us", "n_events", "total_value"
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window duplicated-span extraction over the dup-injected
     view (exact copies guarantee full-document spans at every sf; the
@@ -1548,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_sim": q_kg_neighbor_sim,
         "kg_kcore": q_kg_kcore,
         "dup_spans": q_dup_spans,
+        "events_sessions": q_events_sessions,
         "curation_prov": q_curation_prov,
         "bpe_word_hist": q_bpe_word_hist,
         "bpe_merges": q_bpe_merges,
@@ -2134,6 +2147,30 @@ u4 AS (
 SELECT u AS uri, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS u FROM u4 UNION ALL SELECT b FROM u4)
 GROUP BY 1 HAVING count(*) >= 3
+"""
+    # gap sessionization: identical lag/running-sum islands per user
+    out["events_sessions"] = """
+WITH b AS (SELECT user_id, epoch_us(ts) AS t_us, value AS v FROM events),
+m AS (
+  SELECT user_id, t_us, v,
+         CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+              OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+                 > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM b
+),
+s AS (
+  SELECT user_id, t_us, v,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_idx
+  FROM m
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(t_us) AS start_us, max(t_us) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(v) * 10000 + 0.5) / 10000 AS total_value
+FROM s GROUP BY 1, 2
 """
     # sliding-window duplicated spans over the dup-injected view: the
     # oracle groups by raw gram content (no hash), islands via

@@ -158,3 +158,62 @@ def streaming_curate(
     if once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-based sessionization: per user, consecutive events belong to
+    one session while the inter-event gap is <= `gap_minutes`; a larger
+    gap opens a new session. Returns one row per session:
+    (user_col, session_idx [1-based per user in time order], start_us,
+    end_us [epoch microseconds — exact longs, no float timestamps],
+    n_events, total_value [4-dp, omitted when value_col is None]).
+
+    Spark shape: a lag + running-sum island pass PARTITIONED BY USER
+    (the same per-key window discipline as dedup.duplicated_spans —
+    never a corpus-wide window; users are the natural shuffle key and
+    skew means one hot user, which AQE splits), then one
+    map-side-combined groupBy(user, session). For unbounded streams the
+    same semantics run under `applyInPandasWithState` with the gap as
+    the state timeout; this batch form is the backfill/oracle path.
+    """
+    from pyspark.sql import Window
+
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0, got {gap_minutes}")
+    gap_us = int(gap_minutes * 60_000_000)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        # cast handles TIMESTAMP_NTZ sources; the engine session pins
+        # spark.sql.session.timeZone=UTC so the reinterpretation is
+        # offset-free (matching epoch_us on a naive timestamp)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t_us"),
+        *( [F.col(value_col).alias("v")] if value_col else [] ),
+    )
+    win = Window.partitionBy("_u").orderBy("t_us")
+    brk = (
+        F.when(F.lag("t_us").over(win).isNull(), 1)
+        .when(F.col("t_us") - F.lag("t_us").over(win) > gap_us, 1)
+        .otherwise(0)
+    )
+    marked = base.withColumn("brk", brk).withColumn(
+        "session_idx",
+        F.sum("brk").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col:
+        from ..utils import round4
+
+        aggs.append(round4(F.sum("v")).alias("total_value"))
+    return marked.groupBy(F.col("_u").alias(user_col), "session_idx").agg(*aggs)

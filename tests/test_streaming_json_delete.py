@@ -175,3 +175,39 @@ ex:root ex:child [ ex:name "anon" ] .
     assert res.not_deleted == 3
     left = res.remaining.toPandas()
     assert '1' in set(left.object) and '2' not in set(left[left.predicate == "http://example.org/p"].object)
+
+
+def test_sessionize_gap_islands(spark):
+    import datetime as dt
+
+    from neosemantics_spark.streaming.stream import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0, 10, 25 (one session), then 70, 75 (second)
+        (1, ts(0), 1.0), (1, ts(10), 2.0), (1, ts(25), 3.0),
+        (1, ts(70), 4.0), (1, ts(75), 5.0),
+        # user 2: single event
+        (2, ts(5), 9.5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert len(got) == 3
+    s11 = got[(1, 1)]
+    assert s11["n_events"] == 3 and s11["total_value"] == 6.0
+    assert (s11["end_us"] - s11["start_us"]) == 25 * 60_000_000
+    s12 = got[(1, 2)]
+    assert s12["n_events"] == 2 and s12["total_value"] == 9.0
+    assert got[(2, 1)]["n_events"] == 1
+    # exact-gap boundary: 30.0 min gap does NOT break (<= gap keeps)
+    ev2 = spark.createDataFrame(
+        [(3, ts(0), 1.0), (3, ts(30), 1.0)], "user_id int, ts timestamp, value double"
+    )
+    assert sessionize(ev2, gap_minutes=30).count() == 1
