@@ -321,6 +321,64 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_sessions_streaming(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING sessionizer under the same gap policy as
+    `events_sessions` — identical SQL oracle, which is the point: the
+    stateful operator (applyInPandasWithState, event-time timeout) must
+    add no semantics beyond micro-batch delivery. The events land as
+    two micro-batch files plus a far-future single-event sentinel user;
+    the sentinel advances the watermark past every real session's
+    flush point, so the final cleanup batch emits all of them (only the
+    sentinel's own session stays open, and it is filtered out)."""
+    import shutil
+    import tempfile
+
+    from neosemantics_spark.streaming.stream import streaming_sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="ns_sess_stream_")
+    try:
+        src, out, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+        # split by user parity into two files -> two micro-batches
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src)
+        ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+        sentinel = spark.createDataFrame(
+            [(-1, "2030-01-01 00:00:00", 0.0)], "user_id long, ts string, value double"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_sessionize(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        res = (
+            spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_idx", "start_us", "end_us",
+                "n_events", "total_value",
+            )
+        )
+        rows = res.collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_idx long, start_us long, end_us long, "
+        "n_events long, total_value double",
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window duplicated-span extraction over the dup-injected
     view (exact copies guarantee full-document spans at every sf; the
@@ -1561,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "dup_spans": q_dup_spans,
         "events_sessions": q_events_sessions,
+        "events_sessions_streaming": q_events_sessions_streaming,
         "curation_prov": q_curation_prov,
         "bpe_word_hist": q_bpe_word_hist,
         "bpe_merges": q_bpe_merges,
@@ -2172,6 +2231,9 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        floor(sum(v) * 10000 + 0.5) / 10000 AS total_value
 FROM s GROUP BY 1, 2
 """
+    # streaming sessionizer: same oracle as the batch operator — the
+    # stateful streaming wrapper must add no semantics
+    out["events_sessions_streaming"] = out["events_sessions"]
     # sliding-window duplicated spans over the dup-injected view: the
     # oracle groups by raw gram content (no hash), islands via
     # lag/running-sum per doc

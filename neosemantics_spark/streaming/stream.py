@@ -217,3 +217,105 @@ def sessionize(
 
         aggs.append(round4(F.sum("v")).alias("total_value"))
     return marked.groupBy(F.col("_u").alias(user_col), "session_idx").agg(*aggs)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of `sessionize` — gap-based sessions as a custom
+    stateful operator (`applyInPandasWithState` keyed by user). State
+    per user = the one OPEN session (start, last-event, count, sum,
+    ordinal). Each micro-batch folds its events in time order into the
+    open session, emitting a session row whenever a gap > `gap_minutes`
+    is PROVEN by a later event; idle sessions are flushed by an
+    event-time timeout at last_event + gap once the watermark passes it
+    (so results eventually match the batch `sessionize` on the same
+    data, session_idx included). Late events older than the watermark
+    are dropped by the watermark operator before they reach state —
+    the standard trade; the batch form is the backfill path.
+
+    Output: (user_id, session_idx, start_us, end_us, n_events,
+    total_value) — the batch operator's schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0, got {gap_minutes}")
+    gap_us = int(gap_minutes * 60_000_000)
+
+    # project/cast FIRST, watermark LAST: a cast projection applied on
+    # top of withWatermark produces a new attribute without the
+    # watermark tag, and event-time timeout then refuses the plan
+    ev = events_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    ).withWatermark("ts", watermark)
+
+    def fold(key, pdf_iter, state: GroupState):
+        uid = key[0]
+
+        def emit(tup):
+            start, last, n, tot, idx = tup
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_idx": [int(idx)],
+                    "start_us": [int(start)],
+                    "end_us": [int(last)],
+                    "n_events": [int(n)],
+                    "total_value": [float(int(tot * 10000 + 0.5) / 10000)],
+                }
+            )
+
+        if state.hasTimedOut:
+            tup = state.get
+            state.remove()
+            yield emit(tup)
+            return
+        events = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                t_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                events.extend(zip(t_us, pdf["v"].tolist()))
+        events.sort()
+        cur = list(state.get) if state.exists else None
+        for t, v in events:
+            if cur is None:
+                cur = [t, t, 1, v, 1]
+            elif t - cur[1] > gap_us:
+                nxt = [t, t, 1, v, cur[4] + 1]
+                yield emit(cur)
+                cur = nxt
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+        if cur is not None:
+            state.update(tuple(cur))
+            # flush when the watermark passes the gap after the last
+            # event; if the watermark already passed it (this batch's
+            # events were themselves near-late), clamp to watermark+1 ms
+            # so the session flushes at the very next batch — Spark
+            # refuses a timeout at or before the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((cur[1] + gap_us) // 1000, wm + 1))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, session_idx long, start_us long, end_us long, "
+            "n_events long, total_value double"
+        ),
+        stateStructType=(
+            "start_us long, last_us long, n long, tot double, idx long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -211,3 +211,66 @@ def test_sessionize_gap_islands(spark):
         [(3, ts(0), 1.0), (3, ts(30), 1.0)], "user_id int, ts timestamp, value double"
     )
     assert sessionize(ev2, gap_minutes=30).count() == 1
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessions (applyInPandasWithState, event-time
+    timeout): gaps proven by later events close sessions mid-stream;
+    idle sessions flush when the watermark passes last_event + gap. Two
+    micro-batches whose final watermark is far past every session's
+    flush point -> the emitted set must equal batch sessionize."""
+    import datetime as dt
+
+    from neosemantics_spark.streaming.stream import sessionize, streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src_dir = str(tmp_path / "ev")
+    out_dir, ckpt = str(tmp_path / "sout"), str(tmp_path / "sck")
+    b1 = [(1, ts(0), 1.0), (1, ts(10), 2.0), (2, ts(5), 4.0)]
+    b2 = [
+        (1, ts(90), 3.0),            # proves user 1's first session closed
+        (2, ts(200), 1.0),           # proves user 2's session closed
+        (3, ts(6000), 9.0),          # advances the watermark (2h default)
+        (3, ts(6601), 1.0),          # ... far enough to flush everything
+    ]
+    schema = "user_id int, ts timestamp, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["start_us"], r["end_us"], r["n_events"], r["total_value"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r["user_id"], r["session_idx"]): (
+            r["start_us"], r["end_us"], r["n_events"], r["total_value"]
+        )
+        for r in sessionize(all_events, gap_minutes=30).collect()
+    }
+    # sessions provably closed or watermark-flushed by end of stream:
+    # everything except user 3's last session (no later watermark)
+    open_keys = {(3, 2)}
+    assert set(batch) - set(got) <= open_keys
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
