@@ -398,6 +398,21 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_span_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-level rollup of dup_spans over the same dup-injected view —
+    the drop-mostly-duplicated-docs filter signal."""
+    from neosemantics_spark.operators.dedup import span_dup_stats
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    dup_view = docs.unionByName(
+        tenth.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    return span_dup_stats(dup_view, n=8, min_docs=2).select(
+        "doc_id", "n_tokens", "dup_tokens", "dup_frac"
+    )
+
+
 def q_kg_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """4-round synchronous 3-core peel over the undirected doc graph —
     the dense-subgraph filter. The oracle unrolls the same four
@@ -1618,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_sim": q_kg_neighbor_sim,
         "kg_kcore": q_kg_kcore,
         "dup_spans": q_dup_spans,
+        "span_dup_stats": q_span_dup_stats,
         "events_sessions": q_events_sessions,
         "events_sessions_streaming": q_events_sessions_streaming,
         "curation_prov": q_curation_prov,
@@ -2206,6 +2222,47 @@ u4 AS (
 SELECT u AS uri, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS u FROM u4 UNION ALL SELECT b FROM u4)
 GROUP BY 1 HAVING count(*) >= 3
+"""
+    out["span_dup_stats"] = f"""
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, {_WORDS} AS w FROM dv),
+st AS (
+  SELECT doc_id, CAST(s AS INT) AS s,
+         array_to_string(list_slice(w, s + 1, s + 8), ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS s FROM w WHERE len(w) >= 8)
+),
+pg AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM st)
+  GROUP BY g HAVING count(*) >= 2
+),
+d AS (SELECT st.doc_id, st.s FROM st JOIN pg USING (g)),
+i AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+              OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+gs AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM i
+),
+sp AS (
+  SELECT doc_id, max(s) + 8 - min(s) AS span_tokens
+  FROM gs GROUP BY doc_id, grp
+),
+pd AS (SELECT doc_id, sum(span_tokens) AS dup_tokens FROM sp GROUP BY 1)
+SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_tokens,
+       CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       floor(coalesce(pd.dup_tokens, 0) * 1.0 / greatest(len(w.w), 1)
+             * 10000 + 0.5) / 10000 AS dup_frac
+FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
 """
     # gap sessionization: identical lag/running-sum islands per user
     out["events_sessions"] = """

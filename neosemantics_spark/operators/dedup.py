@@ -775,3 +775,32 @@ def duplicated_spans(
         (F.max("s") + n).alias("span_end"),
         (F.max("s") + n - F.min("s")).alias("span_tokens"),
     ).select(id_col, "span_start", "span_end", "span_tokens")
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, dup_tokens, dup_frac) for EVERY document —
+    the doc-level rollup of `duplicated_spans` (spans are disjoint by
+    construction, so dup_tokens is a plain sum): the filter signal for
+    "drop docs that are mostly corpus-duplicated text" at sliding-window
+    fidelity (vs chunk_dup_stats' aligned chunks). Docs shorter than n
+    tokens carry dup_tokens = 0 (no window fits).
+    """
+    spans = duplicated_spans(docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col)
+    from .text import _words
+
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_tokens").alias("dup_tokens"))
+    base = docs.select(F.col(id_col), F.size(_words(F.col(text_col))).alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        round4(
+            F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1))
+        ).alias("dup_frac"),
+    )

@@ -1013,3 +1013,20 @@ def test_duplicated_spans_merges_adjacent_windows(spark):
     }
     assert got[1] == (0, 6)
     assert got[2] == (1, 7)
+
+
+def test_span_dup_stats(spark):
+    from neosemantics_spark.operators.dedup import span_dup_stats
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"one two {shared} three four"),   # 8 tokens, 4 dup
+        (2, f"{shared} five six seven eight"), # 8 tokens, 4 dup
+        (3, "nine ten"),                        # shorter than n -> 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in span_dup_stats(df, n=4).collect()}
+    assert len(got) == 3
+    assert (got[1]["n_tokens"], got[1]["dup_tokens"], got[1]["dup_frac"]) == (8, 4, 0.5)
+    assert (got[2]["dup_tokens"], got[2]["dup_frac"]) == (4, 0.5)
+    assert (got[3]["dup_tokens"], got[3]["dup_frac"]) == (0, 0.0)
