@@ -398,6 +398,24 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_strip_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The span-dedup ACTION over the dup-injected view: every
+    duplicated window's content survives only in its min-id owner doc;
+    the oracle re-assembles every output text byte-for-byte from raw
+    segments (the dedup_chunks reassembly discipline at sliding-window
+    fidelity)."""
+    from neosemantics_spark.operators.dedup import strip_spans
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    dup_view = docs.unionByName(
+        tenth.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    return strip_spans(dup_view, n=8, min_docs=2).select(
+        "doc_id", "text_deduped", "n_tokens_kept", "n_tokens_dropped"
+    )
+
+
 def q_span_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Doc-level rollup of dup_spans over the same dup-injected view —
     the drop-mostly-duplicated-docs filter signal."""
@@ -1634,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "dup_spans": q_dup_spans,
         "span_dup_stats": q_span_dup_stats,
+        "strip_spans": q_strip_spans,
         "events_sessions": q_events_sessions,
         "events_sessions_streaming": q_events_sessions_streaming,
         "curation_prov": q_curation_prov,
@@ -2222,6 +2241,68 @@ u4 AS (
 SELECT u AS uri, CAST(count(*) AS BIGINT) AS core_degree
 FROM (SELECT a AS u FROM u4 UNION ALL SELECT b FROM u4)
 GROUP BY 1 HAVING count(*) >= 3
+"""
+    out["strip_spans"] = f"""
+WITH dv AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+seg AS (
+  SELECT doc_id, text,
+         CASE WHEN len(s0) = 0 THEN [text]
+              ELSE list_prepend(lead || s0[1], s0[2:]) END AS s
+  FROM (SELECT doc_id, text, regexp_extract_all(text, '\\S+\\s*') AS s0,
+               regexp_extract(text, '^\\s*') AS lead FROM dv)
+),
+w AS (SELECT doc_id, {_WORDS} AS w FROM dv),
+st AS (
+  SELECT doc_id, CAST(s AS INT) AS s,
+         array_to_string(list_slice(w, s + 1, s + 8), ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS s FROM w WHERE len(w) >= 8)
+),
+pg AS (
+  SELECT g, min(doc_id) AS owner
+  FROM (SELECT DISTINCT g, doc_id FROM st)
+  GROUP BY g HAVING count(*) >= 2
+),
+d AS (
+  SELECT DISTINCT st.doc_id, st.s FROM st JOIN pg USING (g)
+  WHERE st.doc_id <> pg.owner
+),
+i AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+              OR s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+gs AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM i
+),
+rg AS (SELECT doc_id, min(s) AS rs, max(s) + 8 AS re FROM gs GROUP BY doc_id, grp),
+segpos AS (
+  SELECT doc_id, unnest(s) AS sg, CAST(unnest(range(len(s))) AS INT) AS i FROM seg
+),
+removed AS (
+  SELECT DISTINCT sp.doc_id, sp.i
+  FROM segpos sp JOIN rg ON sp.doc_id = rg.doc_id AND sp.i >= rg.rs AND sp.i < rg.re
+),
+keptseg AS (
+  SELECT sp.doc_id, sp.i, sp.sg FROM segpos sp
+  ANTI JOIN removed r ON sp.doc_id = r.doc_id AND sp.i = r.i
+),
+reb AS (SELECT doc_id, string_agg(sg, '' ORDER BY i) AS text_deduped FROM keptseg GROUP BY 1),
+dr AS (SELECT doc_id, sum(re - rs) AS dropped FROM rg GROUP BY 1)
+SELECT w.doc_id,
+       coalesce(reb.text_deduped, '') AS text_deduped,
+       CAST(len(w.w) - coalesce(dr.dropped, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(coalesce(dr.dropped, 0) AS BIGINT) AS n_tokens_dropped
+FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id
+LEFT JOIN dr ON w.doc_id = dr.doc_id
 """
     out["span_dup_stats"] = f"""
 WITH dv AS (

@@ -702,6 +702,41 @@ def near_dup_clusters(
     )
 
 
+def _window_starts(docs, n, id_col, text_col):
+    """One row per sliding-window start: (id, s, g) with g = sha2 of
+    the n-token window at 0-based token offset s. Linear in corpus
+    tokens; the 64-byte digest is the only shuffled content."""
+    from .text import _words
+
+    base = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") >= n
+    )
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("s"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "s",
+        F.sha2(F.concat_ws(" ", F.slice(F.col("_w"), F.col("s") + 1, n)), 256).alias(
+            "g"
+        ),
+    )
+
+
+def _dup_window_starts(docs, n, min_docs, id_col, text_col):
+    """Window starts whose gram occurs in >= min_docs distinct docs."""
+    starts = _window_starts(docs, n, id_col, text_col)
+    per_gram = (
+        starts.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    return starts.join(per_gram, "g", "left_semi")
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = 8,
@@ -732,34 +767,11 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    from .text import _words
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    base = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_w")).filter(
-        F.size("_w") >= n
-    )
-    starts = base.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("s"),
-        F.col("_w"),
-    ).select(
-        id_col,
-        "s",
-        F.sha2(F.concat_ws(" ", F.slice(F.col("_w"), F.col("s") + 1, n)), 256).alias(
-            "g"
-        ),
-    )
-    per_gram = (
-        starts.select("g", id_col)
-        .distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-    )
-    dup = starts.join(per_gram, "g", "left_semi").select(id_col, "s")
+    dup = _dup_window_starts(docs, n, min_docs, id_col, text_col).select(id_col, "s")
     win = Window.partitionBy(id_col).orderBy("s")
     brk = (
         F.when(F.lag("s").over(win).isNull(), 1)
@@ -803,4 +815,92 @@ def span_dup_stats(
         round4(
             F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1))
         ).alias("dup_frac"),
+    )
+
+
+def strip_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text_deduped, n_tokens_kept, n_tokens_dropped) — the
+    ACTION for `duplicated_spans`: every corpus-duplicated n-token
+    window's content survives only in its OWNER document (the min-id
+    doc containing that window's gram — the `dedup_chunks` ownership
+    rule at sliding-window fidelity); every other doc has the covered
+    tokens removed. Exact copies of an earlier doc strip to '' (the
+    caller drops empties); the owner itself is byte-identical on
+    re-assembly (`_raw_segments`: each kept token carries its raw bytes
+    + trailing whitespace, leading whitespace folded into token 0).
+
+    Plan: the shared window-starts explode (linear in corpus tokens,
+    sha2 keys) → per-gram (distinct-doc count, min-id owner) in ONE
+    aggregation → non-owned duplicated starts → per-DOC island merge
+    into removal ranges (lag/running-sum, doc-partitioned) → ranges
+    collected per doc (bounded by the doc's own token count) → one
+    in-row indexed filter over the raw segments. No corpus-wide window,
+    no UDF.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    starts = _window_starts(docs, n, id_col, text_col)
+    per_gram = (
+        starts.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"), F.min(id_col).alias("owner"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    foreign = (
+        starts.join(per_gram, "g")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(id_col, "s")
+        .distinct()
+    )
+    win = Window.partitionBy(id_col).orderBy("s")
+    brk = (
+        F.when(F.lag("s").over(win).isNull(), 1)
+        .when(F.col("s") - F.lag("s").over(win) > n, 1)
+        .otherwise(0)
+    )
+    ranges = (
+        foreign.withColumn("brk", brk)
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "grp")
+        .agg(F.min("s").alias("rs"), (F.max("s") + n).alias("re"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("rs", "re")).alias("_ranges"))
+    )
+    segs = docs.select(
+        F.col(id_col), F.col(text_col), _raw_segments(F.col(text_col)).alias("_segs")
+    )
+    joined = segs.join(ranges, id_col, "left").withColumn(
+        "_ranges", F.coalesce("_ranges", F.array())
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_ranges"), lambda r: (i >= r["rs"]) & (i < r["re"])
+    )
+    from .text import _words as _text_words
+
+    kept_segs = F.filter(F.col("_segs"), lambda x, i: ~covered(i))
+    n_words = F.size(_text_words(F.col(text_col)))
+    dropped = F.aggregate(
+        F.col("_ranges"), F.lit(0), lambda acc, r: acc + (r["re"] - r["rs"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws("", kept_segs).alias("text_deduped"),
+        (n_words - dropped).cast("long").alias("n_tokens_kept"),
+        dropped.cast("long").alias("n_tokens_dropped"),
     )

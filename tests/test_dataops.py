@@ -1030,3 +1030,35 @@ def test_span_dup_stats(spark):
     assert (got[1]["n_tokens"], got[1]["dup_tokens"], got[1]["dup_frac"]) == (8, 4, 0.5)
     assert (got[2]["dup_tokens"], got[2]["dup_frac"]) == (4, 0.5)
     assert (got[3]["dup_tokens"], got[3]["dup_frac"]) == (0, 0.0)
+
+
+def test_strip_spans_ownership(spark):
+    from neosemantics_spark.operators.dedup import strip_spans
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} five six seven eight"),
+        (3, "nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in strip_spans(df, n=4).collect()}
+    # doc 1 owns the shared gram (min id): byte-identical round trip
+    assert got[1]["text_deduped"] == rows[0][1]
+    assert got[1]["n_tokens_dropped"] == 0 and got[1]["n_tokens_kept"] == 8
+    # doc 2 loses the 4 covered tokens, keeps its own tail verbatim
+    assert got[2]["text_deduped"] == "five six seven eight"
+    assert got[2]["n_tokens_dropped"] == 4 and got[2]["n_tokens_kept"] == 4
+    # untouched doc: byte-identical
+    assert got[3]["text_deduped"] == rows[2][1]
+
+
+def test_strip_spans_exact_copy_empties(spark):
+    from neosemantics_spark.operators.dedup import strip_spans
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in strip_spans(df, n=4).collect()}
+    assert got[1]["text_deduped"] == t
+    assert got[2]["text_deduped"] == "" and got[2]["n_tokens_kept"] == 0
+    assert got[2]["n_tokens_dropped"] == 9
