@@ -93,6 +93,15 @@ def main() -> None:
         "embedding dedup stages",
     )
     ap.add_argument(
+        "--strip-spans",
+        type=int,
+        default=None,
+        metavar="N_TOKENS",
+        help="after curation, remove corpus-duplicated sliding N-token "
+        "spans from every accepted doc except each span's min-id owner "
+        "(dedup.strip_spans); docs stripped to nothing are dropped",
+    )
+    ap.add_argument(
         "--tokenizer",
         default=None,
         help="BPE tokenizer artifact root (operators/bpe.py layout). "
@@ -164,13 +173,27 @@ def main() -> None:
     else:
         res = curate_corpus(docs, bench, **opts)
         mode = "overwrite"
-    res.curated.write.mode(mode).partitionBy("split").parquet(args.output)
+    curated = res.curated
+    if args.strip_spans:
+        from pyspark.sql import functions as F
+
+        from neosemantics_spark.operators.dedup import strip_spans
+
+        st = strip_spans(curated, n=args.strip_spans)
+        curated = curated.drop("text").join(
+            st.filter(F.col("n_tokens_kept") > 0).select(
+                "doc_id", F.col("text_deduped").alias("text")
+            ),
+            "doc_id",
+        )
+        res.metrics["n_after_span_dedup"] = curated.count()
+    curated.write.mode(mode).partitionBy("split").parquet(args.output)
     if args.train_tokenizer is not None:
         if not args.tokenizer:
             ap.error("--train-tokenizer requires --tokenizer <path>")
         from neosemantics_spark.operators import bpe
 
-        merges = bpe.train_bpe(res.curated, n_merges=args.train_tokenizer)
+        merges = bpe.train_bpe(curated, n_merges=args.train_tokenizer)
         bpe.save_bpe(spark, merges, args.tokenizer)
         res.metrics["tokenizer_merges"] = len(merges)
     elif args.tokenizer:
@@ -180,7 +203,7 @@ def main() -> None:
 
         merges = bpe.load_bpe(spark, args.tokenizer)
         res.metrics["total_bpe_tokens"] = (
-            bpe.encode_bpe(res.curated, merges)
+            bpe.encode_bpe(curated, merges)
             .agg(F.sum("n_tokens"))
             .first()[0]
         )
