@@ -286,6 +286,21 @@ def q_kg_labelprop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kg_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the %97==0 anchor docs (the k_hop
+    seed set) — relevance-to-anchors scores; oracle unrolls the five
+    seed-teleport iterations as chained CTEs."""
+    from neosemantics_spark.operators.graphalg import personalized_pagerank
+
+    docs = _docs(spark, sf)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit(DOC), F.col("doc_id").cast("string")).alias("uri")
+    )
+    return personalized_pagerank(_doc_graph_edges(spark, sf), seeds, iters=5).select(
+        "uri", "ppr_x1000"
+    )
+
+
 def q_kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     undirected doc graph via the degree-ordered forward algorithm; the
@@ -1647,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": q_kg_degrees,
         "kg_khop": q_kg_khop,
         "kg_labelprop": q_kg_labelprop,
+        "kg_ppr": q_kg_ppr,
         "kg_triangles": q_kg_triangles,
         "kg_neighbor_sim": q_kg_neighbor_sim,
         "kg_kcore": q_kg_kcore,
@@ -2409,6 +2425,85 @@ SELECT doc_id, CAST(min(s) AS INT) AS span_start,
        CAST(max(s) + 8 AS INT) AS span_end,
        CAST(max(s) + 8 - min(s) AS INT) AS span_tokens
 FROM gs GROUP BY doc_id, grp
+"""
+    # personalized PageRank: teleport restricted to the %97 anchor set,
+    # dangling mass repaid to the seeds, five unrolled iterations
+    out["kg_ppr"] = f"""
+WITH nn AS (SELECT count(*) AS ni FROM documents),
+e AS (
+  SELECT '{DOC}' || doc_id AS src,
+         '{DOC}' || ((doc_id * 2 + 1) % (SELECT ni FROM nn)) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION
+  SELECT '{DOC}' || doc_id,
+         '{DOC}' || ((doc_id * 7 + 13) % (SELECT ni FROM nn))
+  FROM documents WHERE doc_id % 10 <> 0
+),
+nodes AS (SELECT src AS uri FROM e UNION SELECT dst FROM e),
+sd AS (
+  SELECT uri FROM (SELECT '{DOC}' || doc_id AS uri FROM documents WHERE doc_id % 97 = 0)
+  WHERE uri IN (SELECT uri FROM nodes)
+),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd),
+deg AS (SELECT src AS uri, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+base AS (
+  SELECT n.uri, d.outdeg,
+         CASE WHEN s.uri IS NOT NULL THEN 1.0 / ns.k ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN deg d USING (uri) LEFT JOIN sd s ON n.uri = s.uri
+  CROSS JOIN ns
+),
+r0 AS (SELECT uri, outdeg, p, p AS rank FROM base),
+dang1 AS (SELECT coalesce(sum(rank), 0) AS m FROM r0 WHERE outdeg IS NULL),
+c1 AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r0 r ON e.src = r.uri GROUP BY 1
+),
+r1 AS (
+  SELECT b.uri, b.outdeg, b.p,
+         (1 - 0.85) * b.p + 0.85 * (coalesce(c.in_c, 0) + dang1.m * b.p) AS rank
+  FROM base b LEFT JOIN c1 c USING (uri) CROSS JOIN dang1
+),
+dang2 AS (SELECT coalesce(sum(rank), 0) AS m FROM r1 WHERE outdeg IS NULL),
+c2 AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r1 r ON e.src = r.uri GROUP BY 1
+),
+r2 AS (
+  SELECT b.uri, b.outdeg, b.p,
+         (1 - 0.85) * b.p + 0.85 * (coalesce(c.in_c, 0) + dang2.m * b.p) AS rank
+  FROM base b LEFT JOIN c2 c USING (uri) CROSS JOIN dang2
+),
+dang3 AS (SELECT coalesce(sum(rank), 0) AS m FROM r2 WHERE outdeg IS NULL),
+c3 AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r2 r ON e.src = r.uri GROUP BY 1
+),
+r3 AS (
+  SELECT b.uri, b.outdeg, b.p,
+         (1 - 0.85) * b.p + 0.85 * (coalesce(c.in_c, 0) + dang3.m * b.p) AS rank
+  FROM base b LEFT JOIN c3 c USING (uri) CROSS JOIN dang3
+),
+dang4 AS (SELECT coalesce(sum(rank), 0) AS m FROM r3 WHERE outdeg IS NULL),
+c4 AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r3 r ON e.src = r.uri GROUP BY 1
+),
+r4 AS (
+  SELECT b.uri, b.outdeg, b.p,
+         (1 - 0.85) * b.p + 0.85 * (coalesce(c.in_c, 0) + dang4.m * b.p) AS rank
+  FROM base b LEFT JOIN c4 c USING (uri) CROSS JOIN dang4
+),
+dang5 AS (SELECT coalesce(sum(rank), 0) AS m FROM r4 WHERE outdeg IS NULL),
+c5 AS (
+  SELECT e.dst AS uri, sum(r.rank / r.outdeg) AS in_c
+  FROM e JOIN r4 r ON e.src = r.uri GROUP BY 1
+),
+r5 AS (
+  SELECT b.uri, b.outdeg, b.p,
+         (1 - 0.85) * b.p + 0.85 * (coalesce(c.in_c, 0) + dang5.m * b.p) AS rank
+  FROM base b LEFT JOIN c5 c USING (uri) CROSS JOIN dang5
+)
+SELECT uri, floor(rank * 1000 * 10000 + 0.5) / 10000 AS ppr_x1000 FROM r5
 """
     # triangles + LCC: the oracle uses the naive neighbor-pair recount
     # (adjacent-pair join per node) — a different formulation from the

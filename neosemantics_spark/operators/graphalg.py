@@ -442,3 +442,90 @@ def k_core(
         .agg(F.count("*").alias("core_degree"))
     )
     return deg.filter(F.col("core_degree") >= k)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(uri, ppr_x1000) — PageRank with teleport restricted to the seed
+    set (uniform over seeds present in the graph; dangling mass also
+    repaid to the seeds): relevance-to-anchors, the scoring twin of
+    `k_hop`'s boolean neighborhood for KG-aware curation ("keep
+    documents in proportion to their PPR mass around the entities this
+    dataset is about"). Same per-iteration shape and pinning as
+    `pagerank`; seeds outside the graph are ignored (they could receive
+    teleport but never propagate — excluding them keeps Σr = 1 exact).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("uri"))
+        .unionByName(e.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    sd = (
+        seeds.select(F.col(seeds.columns[0]).alias("uri"))
+        .distinct()
+        .join(nodes, "uri", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is present in the graph")
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (
+        nodes.join(deg.withColumnRenamed("src", "uri"), "uri", "left")
+        .join(sd.withColumn("_s", F.lit(1)), "uri", "left")
+        .select(
+            "uri",
+            "outdeg",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = float(damping)
+    rank = base.select("uri", "outdeg", "p", F.col("p").alias("rank"))
+    for _ in range(iters):
+        dang = (
+            rank.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
+        )
+        contrib = (
+            e.join(
+                rank.select(
+                    F.col("uri").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("uri"))
+            .agg(F.sum("c").alias("in_c"))
+        )
+        rank = (
+            base.join(contrib, "uri", "left")
+            .select(
+                "uri",
+                "outdeg",
+                "p",
+                (
+                    (1.0 - d) * F.col("p")
+                    + d * (F.coalesce(F.col("in_c"), F.lit(0.0)) + dang * F.col("p"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select("uri", round4(F.col("rank") * 1000.0).alias("ppr_x1000"))

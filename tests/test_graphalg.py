@@ -221,3 +221,27 @@ def test_k_core_chain_to_empty(spark):
     e2 = spark.createDataFrame(rows, ["src", "dst"])
     got = {r["uri"]: r["core_degree"] for r in k_core(e2, k=2, rounds=8).collect()}
     assert got == {"d": 2, "e": 2, "f": 2}
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from neosemantics_spark.operators.graphalg import personalized_pagerank
+
+    # two disjoint 3-cycles; seed in cycle 1 only -> cycle 2 gets zero
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["uri"])
+    out = personalized_pagerank(e, seeds, iters=8)
+    got = {r["uri"]: r["ppr_x1000"] for r in out.collect()}
+    assert got["x"] == got["y"] == got["z"] == 0.0
+    assert got["a"] > got["b"] > 0 and got["c"] > 0
+    # total mass conserved (no dangling here): sum = 1000 within round4 grid
+    total = sum(got.values())
+    assert abs(total - 1000.0) < 0.01
+    # seed outside the graph -> error when no seed remains
+    import pytest
+
+    lonely = spark.createDataFrame([("nope",)], ["uri"])
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(e, lonely)
