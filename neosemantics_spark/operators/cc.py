@@ -44,6 +44,7 @@ def connected_components(
     on_round=None,
     scratch_dir: str | None = None,
     broadcast_limit: int = 1_000_000,
+    small_graph_limit: int = 200_000,
 ) -> DataFrame:
     """edges(a,b) undirected → (uri, component) where component is the
     lexicographic-min uri of the equivalence class (deterministic canonical
@@ -122,6 +123,56 @@ def connected_components(
     # (measured on the 500k-doc clustering stage: the two eager 2×-edge
     # materializations, not round count, dominated the fixed cost).
     e = edges.localCheckpoint(eager=True)
+    if on_round is None and small_graph_limit > 0:
+        # ---- small-graph fast path: the iterative loop's fixed cost is
+        # ~10 eager-materialization jobs (pins, convergence probes,
+        # flatten rounds) — for an edge set that fits comfortably on the
+        # driver, a single bounded collect + union-find produces the
+        # IDENTICAL (uri, min-uri component) table in 2 jobs. Same
+        # bounded-driver-state discipline as the broadcast gates here
+        # and in canonicalize_triples: the count is checked BEFORE
+        # collecting, and the distributed loop remains the ≥limit path
+        # (UTF-8 binary min == Python str min — code-point order is
+        # preserved by UTF-8, so representatives agree byte-for-byte).
+        n_e = e.limit(small_graph_limit + 1).count()
+        if n_e <= small_graph_limit:
+            parent: dict = {}
+
+            def _find(x: str) -> str:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in e.collect():
+                a, b = r["a"], r["b"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for u in parent:
+                root = _find(u)
+                m = comp_min.get(root)
+                if m is None or u < m:
+                    comp_min[root] = u
+            out = [(u, comp_min[_find(u)]) for u in sorted(parent)]
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return edges.sparkSession.createDataFrame(
+                out,
+                StructType(
+                    [
+                        StructField("uri", StringType(), False),
+                        StructField("component", StringType(), False),
+                    ]
+                ),
+            )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # current component per node
     comp = (

@@ -67,10 +67,13 @@ def pagerank(
     d = float(damping)
     rank = base.select("uri", "outdeg", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        dang = (
-            rank.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+        # dangling mass as a broadcast one-row aggregate INSIDE the
+        # iteration's single materializing job — the previous `.first()`
+        # was a second driver action per iteration (2 jobs/round → 1;
+        # same IEEE arithmetic: the scalar is the same double sum, and
+        # `_dang / n` is one double division either way)
+        dang = rank.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
         contrib = (
             e.join(
@@ -85,12 +88,13 @@ def pagerank(
         )
         rank = (
             base.join(contrib, "uri", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "uri",
                 "outdeg",
                 (
                     F.lit((1.0 - d) / n)
-                    + d * (F.coalesce(F.col("in_c"), F.lit(0.0)) + dang / n)
+                    + d * (F.coalesce(F.col("in_c"), F.lit(0.0)) + F.col("_dang") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)  # pin: bounded (uri, outdeg, rank)
@@ -499,10 +503,11 @@ def personalized_pagerank(
     d = float(damping)
     rank = base.select("uri", "outdeg", "p", F.col("p").alias("rank"))
     for _ in range(iters):
-        dang = (
-            rank.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()["m"]
+        # one job per iteration: dangling mass rides along as a broadcast
+        # one-row aggregate instead of a separate `.first()` action (see
+        # pagerank above)
+        dang = rank.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
         contrib = (
             e.join(
@@ -517,13 +522,18 @@ def personalized_pagerank(
         )
         rank = (
             base.join(contrib, "uri", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "uri",
                 "outdeg",
                 "p",
                 (
                     (1.0 - d) * F.col("p")
-                    + d * (F.coalesce(F.col("in_c"), F.lit(0.0)) + dang * F.col("p"))
+                    + d
+                    * (
+                        F.coalesce(F.col("in_c"), F.lit(0.0))
+                        + F.col("_dang") * F.col("p")
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

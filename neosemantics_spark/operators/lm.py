@@ -34,8 +34,27 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from .datasets import norm_tokens
 from ..utils import round4
+
+
+def _pin_model(df: DataFrame) -> DataFrame:
+    """Persist a model count table (guide §5: reuse > recompute).
+
+    Every trained model table here is consumed several times — by the
+    count-of-counts/driver-scalar actions at train time AND by the
+    scoring join (the KN5 score plan alone re-reads ten tables). Without
+    a persist each consumer re-runs the corpus tokenize+explode+agg
+    lineage from the parquet scan (measured: 11 identical `Scan parquet
+    → Generate → HashAggregate` subtrees in the lm_score_kn5 physical
+    plan). Model tables are aggregated n-gram counts — orders of
+    magnitude smaller than the corpus — and MEMORY_AND_DISK spills
+    rather than OOMs if a 100 TB-scale vocabulary outgrows executor
+    memory. This is intra-query reuse of a derived table, not result
+    caching: every run still computes the model from the input corpus."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 class BigramLM(NamedTuple):
@@ -76,8 +95,8 @@ def train_bigram_lm(
     groupBys; vocab_size is the only driver scalar (needed in the
     smoothing denominator)."""
     bg = _doc_bigrams(corpus, id_col, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    unigrams = (
+    bigrams = _pin_model(bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
+    unigrams = _pin_model(
         corpus.select(F.explode(norm_tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
@@ -163,17 +182,17 @@ def train_trigram_lm(
     """Count tables for all three orders. Three map-side-combined
     groupBys; the two driver scalars (V and T) come from ONE agg job
     over the unigram table."""
-    trigrams = (
+    trigrams = _pin_model(
         _doc_trigrams(corpus, id_col, text_col)
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("c3"))
     )
-    bigrams = (
+    bigrams = _pin_model(
         _doc_bigrams(corpus, id_col, text_col)
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c2"))
     )
-    unigrams = (
+    unigrams = _pin_model(
         corpus.select(F.explode(norm_tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
@@ -448,35 +467,66 @@ def train_kn5_lm(
     two orders further. Driver scalars: the discount triples, the
     bigram-type total, and V."""
     g5 = _doc_ngrams(corpus, 5, id_col, text_col)
-    t5 = g5.groupBy("w1", "w2", "w3", "w4", "w5").agg(F.count("*").alias("c"))
-    c4r = (
-        _doc_ngrams(corpus, 4, id_col, text_col)
+    t5 = _pin_model(g5.groupBy("w1", "w2", "w3", "w4", "w5").agg(F.count("*").alias("c")))
+    # ---- lower-order raw tables WITHOUT re-exploding the corpus
+    # (guide §2.3 'aggregate before you shuffle'): a doc of m tokens has
+    # its k-gram occurrences at positions 1..m-k+1; the (k+1)-gram
+    # occurrences' PREFIXES cover positions 1..m-k, so
+    #   raw k-gram counts = prefix-marginal of the (k+1)-gram counts
+    #                       + the doc-final k-gram of every doc with m>=k
+    # and the k-gram TYPE set = prefixes of the (k+1)-gram types ∪ the
+    # doc-final k-grams. The marginals run over the (already aggregated,
+    # pinned) model tables; the tails come from ONE narrow pass that
+    # tokenizes each doc once and keeps only its last ≤4 tokens — this
+    # replaces the three corpus-scale tokenize+explode+agg passes the
+    # 4/3/2-gram tables used to pay (plan: 5 `Scan→Generate→HashAggregate`
+    # corpus subtrees → 2).
+    tails = _pin_model(
+        corpus.select(norm_tokens(F.col(text_col)).alias("_t")).select(
+            F.size("_t").alias("m"),
+            F.when(F.size("_t") >= 4, F.slice("_t", -4, 4)).otherwise(F.col("_t")).alias(
+                "tail"
+            ),
+        )
+    )
+
+    def _tail_grams(k: int) -> DataFrame:
+        return tails.filter(F.col("m") >= k).select(
+            *[
+                F.element_at("tail", j - k - 1).alias(f"w{j}")
+                for j in range(1, k + 1)
+            ]
+        )
+
+    c4r = _pin_model(
+        t5.select("w1", "w2", "w3", "w4", "c")
+        .unionByName(_tail_grams(4).withColumn("c", F.lit(1).cast("long")))
         .groupBy("w1", "w2", "w3", "w4")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     t4types = c4r.select("w1", "w2", "w3", "w4")  # raw 4-gram TYPES
-    t3types = (
-        _doc_ngrams(corpus, 3, id_col, text_col)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("c"))
-        .select("w1", "w2", "w3")
+    t3types = _pin_model(
+        c4r.select("w1", "w2", "w3").unionByName(_tail_grams(3)).distinct()
     )
-    t2types = (
-        _doc_bigrams(corpus, id_col, text_col)
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .select("w1", "w2")
+    t2types = _pin_model(
+        t3types.select("w1", "w2").unionByName(_tail_grams(2)).distinct()
     )
     # continuation counts: c'_k(suffix) = |{w : raw (k+1)-gram (w, suffix)}|
-    c4p = t5.groupBy("w2", "w3", "w4", "w5").agg(F.count("*").alias("cc"))
-    c3p = t4types.groupBy("w2", "w3", "w4").agg(F.count("*").alias("cc")).select(
-        F.col("w2").alias("w3"), F.col("w3").alias("w4"), F.col("w4").alias("w5"), "cc"
+    c4p = _pin_model(t5.groupBy("w2", "w3", "w4", "w5").agg(F.count("*").alias("cc")))
+    c3p = _pin_model(
+        t4types.groupBy("w2", "w3", "w4").agg(F.count("*").alias("cc")).select(
+            F.col("w2").alias("w3"), F.col("w3").alias("w4"), F.col("w4").alias("w5"), "cc"
+        )
     )
-    c2p = t3types.groupBy("w2", "w3").agg(F.count("*").alias("cc")).select(
-        F.col("w2").alias("w4"), F.col("w3").alias("w5"), "cc"
+    c2p = _pin_model(
+        t3types.groupBy("w2", "w3").agg(F.count("*").alias("cc")).select(
+            F.col("w2").alias("w4"), F.col("w3").alias("w5"), "cc"
+        )
     )
-    c1p = t2types.groupBy("w2").agg(F.count("*").alias("cc")).select(
-        F.col("w2").alias("w5"), "cc"
+    c1p = _pin_model(
+        t2types.groupBy("w2").agg(F.count("*").alias("cc")).select(
+            F.col("w2").alias("w5"), "cc"
+        )
     )
     # per-context denominator + γ buckets at each interpolated level
     g5t = t5.groupBy("w1", "w2", "w3", "w4").agg(*_bucket_aggs(F.col("c")))
@@ -498,12 +548,20 @@ def train_kn5_lm(
     stats = c1p.agg(
         F.sum("cc").alias("nb"), F.count("*").alias("v")
     ).first()
+    # distinct-token vocabulary without another corpus pass: every token
+    # of a doc with m>=2 occurs in at least one bigram (as w1 unless
+    # doc-final, as w2 unless doc-initial), so vocab = bigram-type
+    # endpoints ∪ the single token of m==1 docs (from the tails pass)
     uni_v = (
-        corpus.select(F.explode(norm_tokens(F.col(text_col))).alias("w"))
-        .select("w")
+        t2types.select(F.col("w1").alias("w"))
+        .unionByName(t2types.select(F.col("w2").alias("w")))
+        .unionByName(
+            tails.filter(F.col("m") == 1).select(F.element_at("tail", -1).alias("w"))
+        )
         .distinct()
         .count()
     )
+    tails.unpersist()
     return KN5LM(
         t5, c4r, g5t, c4p, d4, c3p, d3, c2p, d2, c1p,
         discounts, int(stats["nb"] or 0), uni_v,

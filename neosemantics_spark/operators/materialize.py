@@ -131,16 +131,20 @@ def materialize(
     is_type = (F.col("predicate") == RDF_TYPE) & ~F.col("is_literal")
 
     # ---------------- properties: groupBy (subject, gkey, predicate) [A1/A3]
-    lit_rows = regular.filter(F.col("is_literal"))
+    # the canonical order key is projected ONCE per row (`_o`): the agg
+    # below used to evaluate the concat_ws+lpad expression inside four
+    # separate max_by buffers (4-5 evaluations per input row, and four
+    # per-group (ord, value) buffer pairs). One struct-max keyed on the
+    # unique `_o` returns the same last-written row — `_o` is unique per
+    # statement, so the struct comparison never consults the payload
+    # fields — with a quarter of the per-task aggregation state.
+    lit_rows = regular.filter(F.col("is_literal")).withColumn("_o", _ord())
     need_arrays = cfg.handle_multival == ARRAY or cfg.strict_data_type_check
     aggs = [
-        F.max_by("value", _ord()).alias("last_value"),
+        F.max(F.struct("_o", "value", "value_type", "datatype", "lang")).alias("_last"),
         # type-conflict flag without count_distinct — count_distinct plans
         # an Expand (doubles the shuffled rows); min!=max is one hash agg
         (F.min("value_type") != F.max("value_type")).alias("_mixed"),
-        F.max_by("value_type", _ord()).alias("value_type"),
-        F.max_by("datatype", _ord()).alias("datatype"),
-        F.max_by("lang", _ord()).alias("lang"),
         F.min("graph").alias("graph"),
         F.min("predicate").alias("_pred_raw"),
     ]
@@ -152,12 +156,20 @@ def materialize(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        _ord().alias("o"), F.col("value").alias("v"), F.col("value_type").alias("t")
+                        F.col("_o").alias("o"), F.col("value").alias("v"), F.col("value_type").alias("t")
                     )
                 )
             ).alias("_sorted")
         )
     per_prop = lit_rows.groupBy("subject", "gkey", "pred_t").agg(*aggs)
+    per_prop = per_prop.withColumns(
+        {
+            "last_value": F.col("_last.value"),
+            "value_type": F.col("_last.value_type"),
+            "datatype": F.col("_last.datatype"),
+            "lang": F.col("_last.lang"),
+        }
+    ).drop("_last")
     per_prop = per_prop.withColumn("n_types", F.when(F.col("_mixed"), 2).otherwise(1))
     if need_arrays:
         # A3 heterogeneous-type resolution (DirectStatementLoader.java:161-211):

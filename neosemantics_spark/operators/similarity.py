@@ -61,9 +61,11 @@ def unit_vectors(
     NaN and never clear a cosine threshold — the same behavior as
     cosine()'s 0/0."""
     return (
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v0"),
+        _fan_out(
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v0"),
+            )
         )
         .select("id", "v0", _norm(F.col("v0")).alias("_n"))
         .select("id", F.transform("v0", lambda x: x / F.col("_n")).alias("v"))
@@ -91,7 +93,13 @@ def brute_force_topk(
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")))
+        .crossJoin(
+            _fan_out(
+                embeddings.select(
+                    F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+                )
+            )
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -167,7 +175,7 @@ def lsh_bucket_table(
     exploded coordinates stay contiguous in one task), so buckets are
     bit-identical to the sequential formulation — the oracle SQL is
     shared."""
-    ex = embeddings.select(
+    ex = _fan_out(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("j", "x")
     )
     aggs = []
@@ -315,7 +323,7 @@ def lsh_topk(
             "band",
             F.explode(_probe_buckets(F.col("bucket"), nbits, probe_bits)).alias("bucket"),
         ).distinct()
-    cand = (
+    cand = _spread(
         F.broadcast(qb)
         .join(bt.select(F.col("id").alias("neighbor_id"), "band", "bucket"), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -355,10 +363,49 @@ def suggest_n_centroids(n_rows: int) -> int:
     return max(4, math.isqrt(max(n_rows, 1)))
 
 
+def _fan_out(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Small-input parallelism guard — the `extract_triples` fix applied
+    to the vector stages: a small embeddings parquet bin-packs into 1-2
+    scan partitions, which serializes every downstream CPU-bound
+    per-row vector expression (an interpreted zip_with/aggregate dot is
+    ~200 ops per 64-dim vector; measured: the 253k-pair near-dup scoring
+    stage ran on ONE core). When the scan yields fewer partitions than
+    the cluster's parallelism, pay one cheap shuffle of the narrow rows
+    to fan the compute out; at real scale the condition is false and no
+    shuffle is added."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — e.g. connect-only session
+        return df
+    if n < target:
+        return df.repartition(target * factor)
+    return df
+
+
+def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Spread a CPU-bound scoring input over the cluster regardless of
+    its byte size: AQE coalesces post-shuffle partitions by BYTES, so a
+    few MB of candidate pairs collapse to one partition even though each
+    row carries an interpreted ~200-op dot product (guide §2.5's
+    skew-by-CPU, not skew-by-bytes). One round-robin shuffle of the
+    narrow pair rows costs microseconds per MB and buys full-cluster
+    parallelism for the scoring stage; partition count scales with the
+    cluster (defaultParallelism), not a constant."""
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism * factor
+    except Exception:  # noqa: BLE001
+        return df
+    return df.repartition(n)
+
+
 def _double_vecs(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    return _fan_out(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
     )
 
 
@@ -742,8 +789,9 @@ def _ivf_probe_topk(
     if assign_k > 1:
         # a replicated vector is reachable through several probed lists —
         # dedupe (query, neighbor) before scoring or row_number would
-        # emit duplicate ranked rows
-        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+        # emit duplicate ranked rows; the dedup shuffle coalesces by
+        # bytes, so spread the CPU-bound cosine stage back out
+        cand = _spread(cand.dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.join(F.broadcast(q), "query_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -922,7 +970,7 @@ def embedding_near_dups(
         b = b.join(keep, ["band", "bucket"], "left_semi")
     # dedup candidate pairs ACROSS bands before scoring — a pair colliding
     # in both bands must be scored once, not twice
-    pairs = (
+    pairs = _spread(
         b.select("band", "bucket", F.col("id").alias("a"))
         .join(b.select("band", "bucket", F.col("id").alias("b")), ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
