@@ -116,14 +116,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     shingles first costs one shuffle of the narrow rows and shrinks the
     agg state to (docs/partitions) keys; AQE coalesces the exchange at
     small inputs."""
-    sh = shingle_rows(docs, k, text_col).repartition(F.col("doc_id"))
-    hashes = [
-        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
-    g = sh.select("doc_id", *hashes).groupBy("doc_id").agg(
-        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)]
-    )
+    g = _minhash_wide(docs, num_hashes, k, text_col)
     per_seed = F.array(
         *[
             F.struct(F.lit(s).alias("seed"), F.col(f"_m{s}").alias("minhash"))
@@ -132,6 +125,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     )
     return g.select("doc_id", F.explode(per_seed).alias("sm")).select(
         "doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame, num_hashes: int, k: int, text_col: str
+) -> DataFrame:
+    """(doc_id, _m0.._m{n-1}): the wide per-doc minimum table shared by
+    `minhash_signatures` (which unpivots it) and the fused LSH-candidate
+    path (which bands it in place)."""
+    sh = shingle_rows(docs, k, text_col).repartition(F.col("doc_id"))
+    hashes = [
+        F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle"))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.select("doc_id", *hashes).groupBy("doc_id").agg(
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_hashes)]
     )
 
 
@@ -204,9 +213,30 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
     repartition by doc before the agg — see minhash_signatures) keeps
     the codegen property and fixes the two large-corpus pathologies:
     2.0 s steady-state at sf0.1, ~60 s for 500k docs / 30M candidate
-    pairs at local[16] (was 283 s)."""
-    b = lsh_buckets(minhash_signatures(docs, num_hashes, k, text_col), bands)
-    return bucket_pairs(b, ["band", "bucket"], "doc_id")
+    pairs at local[16] (was 283 s).
+
+    r7: the band buckets are computed straight off the WIDE minimum
+    table — md5 over the band's minhash columns in seed order, exactly
+    the string `lsh_buckets` built via array_sort(collect_list(struct))
+    (seeds are unique, so struct-sort order == seed order) — which
+    deletes the unpivot explode AND the (doc_id, band) re-aggregation
+    shuffle between the signature and banding steps (3 shuffles -> 2)."""
+    g = _minhash_wide(docs, num_hashes, k, text_col)
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"_m{s}") for s in range(num_hashes) if s % bands == b]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    bt = g.select("doc_id", F.explode(F.array(*per_band)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return bucket_pairs(bt, ["band", "bucket"], "doc_id")
 
 
 # --------------------------------------------------------------- jaccard

@@ -427,12 +427,22 @@ def _mkn_discounts(counts: DataFrame, col: str) -> tuple[float, float, float]:
     lesson). Degenerate count-of-counts (any nᵢ = 0, possible on tiny
     corpora) fall back to the fixed 0.75 discount of the single-D KN."""
     c = F.col(col)
-    r = counts.agg(
+    r = counts.agg(*_coc_aggs(c)).first()
+    return _discount_triple(r)
+
+
+def _coc_aggs(c):
+    """The four count-of-counts sums feeding a discount triple."""
+    return [
         F.sum(F.when(c == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(c == 2, 1).otherwise(0)).alias("n2"),
         F.sum(F.when(c == 3, 1).otherwise(0)).alias("n3"),
         F.sum(F.when(c == 4, 1).otherwise(0)).alias("n4"),
-    ).first()
+    ]
+
+
+def _discount_triple(r) -> tuple[float, float, float]:
+    """Count-of-counts row -> clamped (D1, D2, D3) per `_mkn_discounts`."""
     n1, n2, n3, n4 = (float(r[k] or 0) for k in ("n1", "n2", "n3", "n4"))
     if min(n1, n2, n3, n4) <= 0:
         return (0.75, 0.75, 0.75)
@@ -539,28 +549,42 @@ def train_kn5_lm(
     d2 = c2p.groupBy("w4").agg(
         F.sum("cc").alias("den"), *_bucket_aggs(F.col("cc"))
     )
-    discounts = {
-        5: _mkn_discounts(t5, "c"),
-        4: _mkn_discounts(c4p, "cc"),
-        3: _mkn_discounts(c3p, "cc"),
-        2: _mkn_discounts(c2p, "cc"),
+    # all four discount triples from ONE union-agg job over the pinned
+    # tables (was four separate `.first()` driver actions — same sums,
+    # same rows, one job and one codegen unit); this job is also what
+    # first materializes the whole pinned-table chain
+    cc_union = (
+        t5.select(F.lit(5).alias("lvl"), F.col("c"))
+        .unionByName(c4p.select(F.lit(4).alias("lvl"), F.col("cc").alias("c")))
+        .unionByName(c3p.select(F.lit(3).alias("lvl"), F.col("cc").alias("c")))
+        .unionByName(c2p.select(F.lit(2).alias("lvl"), F.col("cc").alias("c")))
+    )
+    coc = {
+        int(r["lvl"]): r
+        for r in cc_union.groupBy("lvl").agg(*_coc_aggs(F.col("c"))).collect()
     }
-    stats = c1p.agg(
-        F.sum("cc").alias("nb"), F.count("*").alias("v")
-    ).first()
+    discounts = {lvl: _discount_triple(coc[lvl]) for lvl in (5, 4, 3, 2)}
     # distinct-token vocabulary without another corpus pass: every token
     # of a doc with m>=2 occurs in at least one bigram (as w1 unless
     # doc-final, as w2 unless doc-initial), so vocab = bigram-type
-    # endpoints ∪ the single token of m==1 docs (from the tails pass)
-    uni_v = (
+    # endpoints ∪ the single token of m==1 docs (from the tails pass).
+    # The bigram-type total and the vocab count share ONE driver action
+    # (cross-join of two one-row aggregates).
+    vocab = (
         t2types.select(F.col("w1").alias("w"))
         .unionByName(t2types.select(F.col("w2").alias("w")))
         .unionByName(
             tails.filter(F.col("m") == 1).select(F.element_at("tail", -1).alias("w"))
         )
         .distinct()
-        .count()
+        .agg(F.count("*").alias("uv"))
     )
+    stats = (
+        c1p.agg(F.sum("cc").alias("nb"), F.count("*").alias("v"))
+        .crossJoin(vocab)
+        .first()
+    )
+    uni_v = int(stats["uv"] or 0)
     tails.unpersist()
     return KN5LM(
         t5, c4r, g5t, c4p, d4, c3p, d3, c2p, d2, c1p,

@@ -39,4 +39,33 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _prewarm_python_workers(spark, cpus)
+    return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Python worker pool and pay its heavy per-worker imports
+    (pandas/pyarrow) once, at session creation — the guide §4.5
+    heavy-init-once rule applied to the pool itself. With
+    spark.python.worker.reuse (the default) the forked workers persist
+    for the session, so the first real Arrow stage of a job no longer
+    absorbs N forks × the pandas import (~3 s of the parse stage's cold
+    time on this host, re-paid by every fresh process). No query data is
+    touched or cached — this is infrastructure warm-up, identical in
+    spirit to a cluster's warm executor pool. Opt out with
+    SPARK_PREWARM_PYTHON=0 (e.g. for Python-free jobs)."""
+    if os.environ.get("SPARK_PREWARM_PYTHON", "1") == "0":
+        return
+    if getattr(spark, "_ns_python_prewarmed", False):
+        return
+    try:
+        def _touch(batches):
+            import pandas  # noqa: F401 — the heavyweight per-worker import
+
+            yield from batches
+
+        spark.range(0, cpus, 1, max(cpus, 1)).mapInPandas(_touch, "id long").count()
+        spark._ns_python_prewarmed = True
+    except Exception:  # noqa: BLE001 — never fail session creation over warm-up
+        pass
