@@ -49,6 +49,7 @@ class ANNIndex(NamedTuple):
     assignments: DataFrame  # (id, centroid_id, dist[, assign_rank])
     n_centroids: int
     assign_k: int
+    method: str = "auto"    # assignment path pinned at write time (ADVICE r6)
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -131,7 +132,7 @@ def append_ann_index(
             )
     assign = similarity.ivf_assign(
         embeddings, id_col=id_col, vec_col=vec_col, centroids=idx.centroids,
-        assign_k=idx.assign_k,
+        assign_k=idx.assign_k, method=idx.method,
     )
     ids = assign.select("id").distinct().localCheckpoint(eager=True)
     bid = _idx_batch_id(ids)
@@ -161,6 +162,7 @@ def read_ann_index(spark: SparkSession, path: str) -> ANNIndex:
         assignments=assignments,
         n_centroids=int(meta["n_centroids"]),
         assign_k=int(meta["assign_k"]),
+        method=str(meta.get("method", "auto")),
     )
 
 

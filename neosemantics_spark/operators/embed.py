@@ -80,10 +80,26 @@ def quantize_embeddings(
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16], got {bits}")
     levels = float((1 << bits) - 1)
+    frozen = stats is not None
     if stats is None:
         stats = dimension_stats(embeddings, vec_col)
     scales = _scales_row(stats)
     vec = _as_double(F.col(vec_col))
+    if frozen:
+        # a batch whose width disagrees with a persisted quantizer must
+        # fail loudly, not zip_with-pad to null codes (ADVICE r6)
+        vec = F.when(
+            F.size(vec) == F.size(F.col("mins")), vec
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("quantize_embeddings: batch vector width "),
+                    F.size(vec).cast("string"),
+                    F.lit(" != frozen quantizer width "),
+                    F.size(F.col("mins")).cast("string"),
+                )
+            )
+        )
     shifted = F.zip_with(vec, F.col("mins"), lambda x, m: x - m)
     q = F.zip_with(
         shifted,

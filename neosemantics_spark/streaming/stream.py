@@ -18,6 +18,8 @@ StatementStreamer.java:40-56). The Spark-native engine adds true streaming:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -270,7 +272,10 @@ def streaming_sessionize(
                     "start_us": [int(start)],
                     "end_us": [int(last)],
                     "n_events": [int(n)],
-                    "total_value": [float(int(tot * 10000 + 0.5) / 10000)],
+                    # math.floor matches the batch round4 (floor-based
+                    # half-up) exactly — int() truncates toward zero,
+                    # which disagrees for negative value sums (ADVICE r6)
+                    "total_value": [float(math.floor(tot * 10000 + 0.5) / 10000)],
                 }
             )
 

@@ -1062,3 +1062,20 @@ def test_strip_spans_exact_copy_empties(spark):
     assert got[1]["text_deduped"] == t
     assert got[2]["text_deduped"] == "" and got[2]["n_tokens_kept"] == 0
     assert got[2]["n_tokens_dropped"] == 9
+
+
+def test_minhash_fused_banding_matches_signature_path(spark):
+    """r7 optimization: minhash_lsh_candidates bands the wide minimum
+    table in place; the bucket md5 inputs must equal the
+    lsh_buckets(minhash_signatures(...)) formulation exactly."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i%7} common words here repeated {i%3} tail {i%5}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    fused = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    legacy = dedup.bucket_pairs(
+        dedup.lsh_buckets(dedup.minhash_signatures(docs, 8, 3), 4),
+        ["band", "bucket"],
+        "doc_id",
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, legacy.collect()))

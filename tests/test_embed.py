@@ -55,3 +55,21 @@ def test_quantization_error_bound(emb):
     # 1-bit: dim1 of vec 3 (15 in [10,20]) dequantizes to 10 or 20 -> err 5
     errs1 = {r["vec_id"]: r["max_err"] for r in quantization_error(emb, bits=1).collect()}
     assert errs1[3] == 5.0
+
+
+def test_quantize_frozen_stats_width_mismatch_fails_loudly(spark):
+    """ADVICE r6: a batch whose vector width disagrees with a persisted
+    quantizer must raise, not silently emit null codes."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    train = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0]), (2, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    stats = dimension_stats(train)
+    wide = spark.createDataFrame([(3, [0.0, 1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises((Py4JJavaError, Exception), match="quantizer width"):
+        quantize_embeddings(wide, bits=8, stats=stats).collect()
+    # matching width through the same frozen path still works
+    ok = quantize_embeddings(train, bits=8, stats=stats)
+    assert ok.count() == 2

@@ -300,3 +300,59 @@ def test_kn_doc_final_bigram_context_backs_off(spark, corpus):
     pc = (0 + a) / (stats.n_bigram_types + a * model.vocab_size)
     want = math.floor(math.log(pc) * 10000 + 0.5) / 10000
     assert row["avg_logp"] == pytest.approx(want, abs=1e-9)
+
+
+def test_kn5_derived_lower_order_tables_match_direct_explosion(spark):
+    """r7 optimization: train_kn5_lm derives the 4/3/2-gram raw tables
+    from the 5-gram table + per-doc tails instead of re-exploding the
+    corpus. Pin equality against the direct formulation on a corpus of
+    awkward lengths (0..6 tokens — doc-final tails, below-order docs,
+    an empty doc)."""
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "alpha"),
+            (2, "alpha beta"),
+            (3, "beta gamma alpha"),
+            (4, "a b c d"),
+            (5, "a b c d e"),
+            (6, "a b c d e a b"),
+            (7, "x x x x x x"),
+        ],
+        ["doc_id", "text"],
+    )
+    model = lm.train_kn5_lm(docs)
+    c4r_direct = (
+        lm._doc_ngrams(docs, 4, "doc_id", "text")
+        .groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count("*").alias("c"))
+    )
+    assert sorted(map(tuple, model.c4r.collect())) == sorted(
+        map(tuple, c4r_direct.collect())
+    )
+    c3_direct = (
+        lm._doc_ngrams(docs, 3, "doc_id", "text")
+        .groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+        .select("w1", "w2", "w3")
+    )
+    c2_direct = (
+        lm._doc_bigrams(docs, "doc_id", "text")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c")).select("w1", "w2")
+    )
+    c2p_direct = sorted(
+        (r["w4"], r["w5"], r["cc"])
+        for r in c3_direct.groupBy("w2", "w3").agg(F.count("*").alias("cc"))
+        .select(F.col("w2").alias("w4"), F.col("w3").alias("w5"), "cc").collect()
+    )
+    assert sorted(map(tuple, model.c2p.collect())) == c2p_direct
+    c1p_direct = sorted(
+        (r["w5"], r["cc"])
+        for r in c2_direct.groupBy("w2").agg(F.count("*").alias("cc"))
+        .select(F.col("w2").alias("w5"), "cc").collect()
+    )
+    assert sorted(map(tuple, model.c1p.collect())) == c1p_direct
+    uni_direct = (
+        docs.select(F.explode(lm.norm_tokens(F.col("text"))).alias("w"))
+        .distinct().count()
+    )
+    assert model.vocab_size == uni_direct
