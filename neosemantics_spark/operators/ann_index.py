@@ -82,9 +82,15 @@ def write_ann_index(
     ).localCheckpoint(eager=True)
     k_c = cents.count()
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # resolve 'auto' from the count we already paid for (saves ivf_assign
+    # scheduling its own count job); meta still records the caller's
+    # requested method, so append re-resolves 'auto' identically
+    resolved = method
+    if resolved == "auto":
+        resolved = "numpy" if k_c > similarity._NUMPY_ASSIGN_MIN_CENTROIDS else "expr"
     assign = similarity.ivf_assign(
         embeddings, id_col=id_col, vec_col=vec_col, centroids=cents,
-        assign_k=assign_k, method=method,
+        assign_k=assign_k, method=resolved,
     )
     ids = assign.select("id").distinct().localCheckpoint(eager=True)
     bid = _idx_batch_id(ids)

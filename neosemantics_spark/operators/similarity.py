@@ -735,8 +735,14 @@ def ivf_topk(
     cents = ivf_centroids(
         embeddings, n_centroids, refine_iters, id_col, vec_col
     ).localCheckpoint(eager=True)
+    # resolve the auto method dispatch HERE from the pinned table's count
+    # (one cheap job on checkpointed blocks) instead of letting ivf_assign
+    # schedule its own count job for the same number
+    k_c = cents.count()
     assign = ivf_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, centroids=cents, assign_k=assign_k
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=cents,
+        assign_k=assign_k,
+        method="numpy" if k_c > _NUMPY_ASSIGN_MIN_CENTROIDS else "expr",
     )
     return _ivf_probe_topk(
         _double_vecs(embeddings, id_col, vec_col),
