@@ -52,6 +52,17 @@ class ANNIndex(NamedTuple):
     method: str = "auto"    # assignment path pinned at write time (ADVICE r6)
 
 
+def _cluster_by_list(assign: DataFrame) -> DataFrame:
+    """Cluster assignment rows by centroid_id before the write (guide §6:
+    file layout serves the reader). A probe reads whole inverted lists,
+    so co-locating each list makes min/max row-group stats prune the
+    scan; the keyed repartition also lets AQE coalesce to size-appropriate
+    output files instead of inheriting however many compute partitions the
+    assignment stage ran with (the r7 fan-out had left ~64 tiny files on
+    small corpora — the §6 small-files trap)."""
+    return assign.repartition(F.col("centroid_id"))
+
+
 def _write_meta(path: str, meta: dict) -> None:
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as fh:
@@ -94,7 +105,7 @@ def write_ann_index(
     )
     ids = assign.select("id").distinct().localCheckpoint(eager=True)
     bid = _idx_batch_id(ids)
-    assign.write.mode("overwrite").parquet(
+    _cluster_by_list(assign).write.mode("overwrite").parquet(
         os.path.join(path, "assignments", f"batch={bid}")
     )
     _write_meta(path, {"n_centroids": int(k_c), "assign_k": int(assign_k),
@@ -142,7 +153,7 @@ def append_ann_index(
     )
     ids = assign.select("id").distinct().localCheckpoint(eager=True)
     bid = _idx_batch_id(ids)
-    assign.write.mode("overwrite").parquet(
+    _cluster_by_list(assign).write.mode("overwrite").parquet(
         os.path.join(path, "assignments", f"batch={bid}")
     )
     if bid not in m["batches"]:
