@@ -18,6 +18,32 @@ def round4(col: Column) -> Column:
 ROUND4_SQL = "floor({x} * 10000 + 0.5) / 10000"
 
 
+def fan_out_scan(df, factor: int = 2):
+    """Small-scan parallelism guard (the `extract_triples` fix made
+    reusable, r7): a small parquet table bin-packs into 1-2 input
+    partitions, which serializes every CPU-heavy narrow stage built on
+    it BEFORE the first shuffle — tokenize+explode shingling, n-gram
+    generation, per-row hashing all ran single-core on the bench corpus.
+    When the scan yields fewer partitions than the cluster's parallelism,
+    pay one cheap shuffle of the input rows to fan the downstream compute
+    out; at real scale (many splits) the condition is false and NO
+    shuffle is added. Apply to the *pre-explode* table so any
+    order-sensitive per-row fold (e.g. float sums over exploded
+    coordinates) stays contiguous within its row."""
+    import os
+
+    if os.environ.get("SPARK_FANOUT_SCAN", "1") == "0":
+        return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — e.g. connect-only session
+        return df
+    if n < target:
+        return df.repartition(target * factor)
+    return df
+
+
 def require_local_root(root: str, component: str) -> str:
     """Refuse a non-local state/model root, normalizing file: URIs.
 
