@@ -61,11 +61,9 @@ def unit_vectors(
     NaN and never clear a cosine threshold — the same behavior as
     cosine()'s 0/0."""
     return (
-        _fan_out(
-            embeddings.select(
-                F.col(id_col).alias("id"),
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v0"),
-            )
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v0"),
         )
         .select("id", "v0", _norm(F.col("v0")).alias("_n"))
         .select("id", F.transform("v0", lambda x: x / F.col("_n")).alias("v"))
@@ -398,11 +396,13 @@ def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
 
 
 def _double_vecs(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return _fan_out(
-        embeddings.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
+    # no fan-out here: measured (fresh-process on/off pairs) — the
+    # centroid-assignment consumers are either cheap (small centroid
+    # sets) or re-spread downstream (_spread before pair scoring), and
+    # the extra exchange cost ann_ivf ~1 s; see OPTIMIZATION_r07.md
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
 
 
